@@ -1,0 +1,351 @@
+"""Transformer blocks: relative-position MHA, Encoder, causal FFT, conv FFN.
+
+Functional equivalents of modules/attentions.py in the reference:
+- ``MultiHeadAttention`` with Shaw-style relative-position attention
+  (window_size=4, shared heads) and the rel<->abs index shuffles
+  (attentions.py:161-314),
+- ``Encoder``: post-LN self-attention stack with windowed relative attention
+  (attentions.py:73-107) — the content encoder,
+- ``FFT``: causal self-attention stack with optional flow conditioning via a
+  gated fuse (attentions.py:12-70) — the f0 decoder / transformer flow,
+- ``FFN``: conv1d feed-forward with causal or same padding
+  (attentions.py:317-363).
+
+TPU notes: QKV projections are Dense ops (1x1 convs) on [B, T, C]; attention
+logits/softmax run in fp32; the relative-position shuffles are pure
+pad/reshape ops that XLA lowers to cheap copies. Sequence lengths here are
+O(800) frames so full [T, T] attention is tiny compared to the vocoder.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .norm import LayerNorm
+from .wavenet import gated_tanh_sigmoid
+from .conv import Conv1d
+
+xavier_init = nn.initializers.xavier_uniform()
+
+
+def _relative_to_absolute(x: jax.Array) -> jax.Array:
+    """[B, H, L, 2L-1] relative logits -> [B, H, L, L] absolute.
+
+    Pad-and-reshape index shuffle (attentions.py:274-289).
+    """
+    b, h, length, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    x_flat = x.reshape(b, h, length * 2 * length)
+    x_flat = jnp.pad(x_flat, ((0, 0), (0, 0), (0, length - 1)))
+    x_final = x_flat.reshape(b, h, length + 1, 2 * length - 1)
+    return x_final[:, :, :length, length - 1 :]
+
+
+def _absolute_to_relative(x: jax.Array) -> jax.Array:
+    """[B, H, L, L] attention weights -> [B, H, L, 2L-1] relative.
+
+    Inverse shuffle (attentions.py:291-303).
+    """
+    b, h, length, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, length - 1)))
+    x_flat = x.reshape(b, h, length * length + length * (length - 1))
+    x_flat = jnp.pad(x_flat, ((0, 0), (0, 0), (length, 0)))
+    x_final = x_flat.reshape(b, h, length, 2 * length)
+    return x_final[:, :, :, 1:]
+
+
+def _window_relative_embeddings(emb: jax.Array, length: int, window: int) -> jax.Array:
+    """Slice/pad the [heads, 2w+1, d] table to [heads, 2L-1, d].
+
+    attentions.py:259-272: zero-pad when L > w+1, center-slice otherwise.
+    """
+    pad_len = max(length - (window + 1), 0)
+    start = max((window + 1) - length, 0)
+    if pad_len > 0:
+        emb = jnp.pad(emb, ((0, 0), (pad_len, pad_len), (0, 0)))
+    return emb[:, start : start + 2 * length - 1]
+
+
+class MultiHeadAttention(nn.Module):
+    channels: int
+    out_channels: int
+    n_heads: int
+    p_dropout: float = 0.0
+    window_size: int | None = None
+    heads_share: bool = True
+    proximal_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T_t, C] query source
+        c: jax.Array,  # [B, T_s, C] key/value source
+        attn_mask: jax.Array | None = None,  # [.., T_t, T_s], 0 = masked
+        deterministic: bool = True,
+    ) -> jax.Array:
+        assert self.channels % self.n_heads == 0
+        k_ch = self.channels // self.n_heads
+        b, t_t, _ = x.shape
+        t_s = c.shape[1]
+
+        dense = lambda name: nn.Dense(  # noqa: E731  (1x1 conv == Dense)
+            self.channels,
+            kernel_init=xavier_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name=name,
+        )
+        q = dense("query")(x).reshape(b, t_t, self.n_heads, k_ch)
+        k = dense("key")(c).reshape(b, t_s, self.n_heads, k_ch)
+        v = dense("value")(c).reshape(b, t_s, self.n_heads, k_ch)
+
+        # [B, H, T, d]
+        q = q.transpose(0, 2, 1, 3) / math.sqrt(k_ch)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum(
+            "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+        )
+
+        if self.window_size is not None:
+            assert t_s == t_t, "relative attention needs self-attention"
+            n_heads_rel = 1 if self.heads_share else self.n_heads
+            rel_stddev = k_ch**-0.5
+            emb_rel_k = self.param(
+                "emb_rel_k",
+                nn.initializers.normal(rel_stddev),
+                (n_heads_rel, 2 * self.window_size + 1, k_ch),
+                self.param_dtype,
+            )
+            emb_rel_v = self.param(
+                "emb_rel_v",
+                nn.initializers.normal(rel_stddev),
+                (n_heads_rel, 2 * self.window_size + 1, k_ch),
+                self.param_dtype,
+            )
+            key_rel = _window_relative_embeddings(emb_rel_k, t_s, self.window_size)
+            rel_logits = jnp.einsum(
+                "bhtd,gmd->bhtm",
+                q,
+                key_rel.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            scores = scores + _relative_to_absolute(rel_logits)
+
+        if self.proximal_bias:
+            assert t_s == t_t
+            r = jnp.arange(t_s, dtype=jnp.float32)
+            diff = r[None, :] - r[:, None]
+            scores = scores + (-jnp.log1p(jnp.abs(diff)))[None, None]
+
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask == 0, -1e4, scores)
+
+        p_attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        p_attn = nn.Dropout(rate=self.p_dropout, deterministic=deterministic)(p_attn)
+        p_attn = p_attn.astype(v.dtype)
+
+        out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
+
+        if self.window_size is not None:
+            rel_weights = _absolute_to_relative(p_attn)
+            value_rel = _window_relative_embeddings(emb_rel_v, t_s, self.window_size)
+            out = out + jnp.einsum(
+                "bhtm,gmd->bhtd", rel_weights, value_rel.astype(out.dtype)
+            )
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
+        # Output projection keeps torch's default conv init (not xavier).
+        from .conv import torch_conv_kernel_init
+
+        return nn.Dense(
+            self.out_channels,
+            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="out",
+        )(out)
+
+
+class FFN(nn.Module):
+    out_channels: int
+    filter_channels: int
+    kernel_size: int
+    p_dropout: float = 0.0
+    activation: str | None = None
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def _pad(self) -> tuple[int, int]:
+        if self.kernel_size == 1:
+            return (0, 0)
+        if self.causal:
+            return (self.kernel_size - 1, 0)
+        return ((self.kernel_size - 1) // 2, self.kernel_size // 2)
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, x_mask: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        pad = self._pad()
+        x = Conv1d(
+            features=self.filter_channels,
+            kernel_size=self.kernel_size,
+            padding=pad,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv1",
+        )(x * x_mask)
+        if self.activation == "gelu":
+            x = x * jax.nn.sigmoid(1.702 * x)
+        else:
+            x = jnp.maximum(x, 0.0)
+        x = nn.Dropout(rate=self.p_dropout, deterministic=deterministic)(x)
+        x = Conv1d(
+            features=self.out_channels,
+            kernel_size=self.kernel_size,
+            padding=pad,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv2",
+        )(x * x_mask)
+        return x * x_mask
+
+
+class Encoder(nn.Module):
+    """Post-LN self-attention stack with windowed relative attention."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    window_size: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, x_mask: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        attn_mask = (x_mask[:, None, :, 0:1] * x_mask[:, None, None, :, 0]).astype(
+            jnp.float32
+        )  # [B, 1, T, T]
+        drop = nn.Dropout(rate=self.p_dropout, deterministic=deterministic)
+        x = x * x_mask
+        for i in range(self.n_layers):
+            y = MultiHeadAttention(
+                channels=self.hidden_channels,
+                out_channels=self.hidden_channels,
+                n_heads=self.n_heads,
+                p_dropout=self.p_dropout,
+                window_size=self.window_size,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"attn_{i}",
+            )(x, x, attn_mask, deterministic)
+            y = drop(y)
+            x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm1_{i}")(x + y)
+            y = FFN(
+                out_channels=self.hidden_channels,
+                filter_channels=self.filter_channels,
+                kernel_size=self.kernel_size,
+                p_dropout=self.p_dropout,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"ffn_{i}",
+            )(x, x_mask, deterministic)
+            y = drop(y)
+            x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm2_{i}")(x + y)
+        return x * x_mask
+
+
+class FFT(nn.Module):
+    """Causal self-attention stack, optionally flow-conditioned on g."""
+
+    hidden_channels: int
+    filter_channels: int
+    n_heads: int
+    n_layers: int = 1
+    kernel_size: int = 1
+    p_dropout: float = 0.0
+    proximal_bias: bool = False
+    isflow: bool = False
+    gin_channels: int = 0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        x_mask: jax.Array,
+        g: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        t = x.shape[1]
+        causal_mask = jnp.tril(jnp.ones((t, t), dtype=jnp.float32))[None, None]
+        drop = nn.Dropout(rate=self.p_dropout, deterministic=deterministic)
+
+        g_all = None
+        cond_pre = None
+        if self.isflow and g is not None:
+            g_all = Conv1d(
+                features=2 * self.hidden_channels * self.n_layers,
+                kernel_size=1,
+                weight_norm=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="cond",
+            )(g)
+            # One shared pre-gate projection across layers (attentions.py:26).
+            cond_pre = Conv1d(
+                features=2 * self.hidden_channels,
+                kernel_size=1,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="cond_pre",
+            )
+
+        x = x * x_mask
+        for i in range(self.n_layers):
+            if g_all is not None:
+                xc = cond_pre(x)
+                g_l = g_all[
+                    ..., i * 2 * self.hidden_channels : (i + 1) * 2 * self.hidden_channels
+                ]
+                x = gated_tanh_sigmoid(xc, g_l)
+            y = MultiHeadAttention(
+                channels=self.hidden_channels,
+                out_channels=self.hidden_channels,
+                n_heads=self.n_heads,
+                p_dropout=self.p_dropout,
+                proximal_bias=self.proximal_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"attn_{i}",
+            )(x, x, causal_mask, deterministic)
+            y = drop(y)
+            x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm0_{i}")(x + y)
+            y = FFN(
+                out_channels=self.hidden_channels,
+                filter_channels=self.filter_channels,
+                kernel_size=self.kernel_size,
+                p_dropout=self.p_dropout,
+                causal=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"ffn_{i}",
+            )(x, x_mask, deterministic)
+            y = drop(y)
+            x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm1_{i}")(x + y)
+        return x * x_mask

@@ -1,0 +1,253 @@
+"""1-D convolution primitives, channels-last, with weight normalization.
+
+Design notes (TPU-first):
+- activations are [B, T, C]; convs run as lax.conv_general_dilated with
+  ('NWC', 'WIO', 'NWC') so the channel contraction lands on the MXU,
+- weight norm is an explicit (g, v) parameterization computed at call time
+  (training-dynamics-faithful to torch weight_norm, used throughout the
+  reference: modules/modules.py:90-107, vdecoder/hifigan/models.py:335-358);
+  ``fold_weight_norm`` bakes it into plain kernels for inference,
+- transposed conv is expressed as an input-dilated conv (XLA lowers both the
+  same way; we keep the torch ConvTranspose1d weight-norm axis semantics so
+  converted checkpoints train identically).
+
+Group convolutions (used by the scale discriminator, models.py:206-212) are
+supported via feature_group_count.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch nn.Conv1d default init: kaiming_uniform(a=sqrt(5)) == uniform with
+# bound sqrt(1/fan_in) == variance_scaling(1/3, fan_in, uniform).
+torch_conv_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def _torch_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _norm_except(v: jax.Array, axis: int) -> jax.Array:
+    """L2 norm over all axes except `axis` (torch _weight_norm semantics)."""
+    axes = tuple(i for i in range(v.ndim) if i != axis)
+    return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+
+
+class Conv1d(nn.Module):
+    """Channels-last conv1d. kernel layout: [kw, in_ch // groups, out_ch].
+
+    padding: integer -> symmetric torch-style padding; or a (lo, hi) tuple.
+    weight_norm: torch-compatible (norm over (kw, in) per output channel).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: int | tuple[int, int] = 0
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    kernel_init: Callable = torch_conv_kernel_init
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        assert in_ch % self.groups == 0 and self.features % self.groups == 0
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        fan_in = self.kernel_size * in_ch // self.groups
+
+        v = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
+        if self.weight_norm:
+            g = self.param(
+                "g",
+                lambda key, shape, dtype=self.param_dtype: _norm_except(
+                    self.kernel_init(key, kshape, dtype), 2
+                ).reshape(shape),
+                (self.features,),
+                self.param_dtype,
+            )
+            kernel = v * (g.reshape(1, 1, -1) / _norm_except(v, 2))
+        else:
+            kernel = v
+
+        pad = (
+            (self.padding, self.padding)
+            if isinstance(self.padding, int)
+            else tuple(self.padding)
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride,),
+            padding=(pad,),
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """Channels-last transposed conv1d, as an input-dilated conv.
+
+    Matches torch ConvTranspose1d(kernel, stride, padding): output length
+    (T-1)*stride - 2*padding + kernel. Kernel layout [kw, in_ch, out_ch]
+    indexed in *transpose* orientation; weight norm normalizes per input
+    channel over (kw, out) — exactly torch's dim=0 on its (in, out, kw)
+    weight (vdecoder/hifigan/models.py:340-342 uses this for every upsample).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = False
+    kernel_init: Callable = torch_conv_kernel_init
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, in_ch, self.features)
+        # torch fan_in for ConvTranspose1d = out_ch * kernel (weight dim 1,2)
+        fan_in = self.kernel_size * self.features
+
+        v = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
+        if self.weight_norm:
+            g = self.param(
+                "g_in",  # distinct name: folded over a different axis
+                lambda key, shape, dtype=self.param_dtype: _norm_except(
+                    self.kernel_init(key, kshape, dtype), 1
+                ).reshape(shape),
+                (in_ch,),
+                self.param_dtype,
+            )
+            kernel = v * (g.reshape(1, -1, 1) / _norm_except(v, 1))
+        else:
+            kernel = v
+
+        # conv-transpose(x, V) == conv(dilate(x, stride), flip_t(V)) with
+        # padding (k-1-p); V is already [kw, in, out] == WIO after the flip.
+        kernel = jnp.flip(kernel, axis=0)
+        p = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1,),
+            padding=((p, p),),
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class SeparableConv1d(nn.Module):
+    """Depthwise-separable conv1d (modules/DSConv.py:5-76 equivalent).
+
+    Depthwise conv (groups=C) followed by a pointwise 1x1; both can be
+    weight-normalized (the reference's weight_norm_modules norms each part).
+    Enabled by the ``use_depthwise_conv`` model flag.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        x = Conv1d(
+            features=in_ch,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            padding=self.padding,
+            groups=in_ch,
+            use_bias=self.use_bias,
+            weight_norm=self.weight_norm,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="depth",
+        )(x)
+        x = Conv1d(
+            features=self.features,
+            kernel_size=1,
+            use_bias=self.use_bias,
+            weight_norm=self.weight_norm,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="point",
+        )(x)
+        return x
+
+
+def make_conv1d(separable: bool, **kwargs):
+    """Conv1dModel switch (modules/modules.py:16-20): plain or separable."""
+    if separable and kwargs.get("kernel_size", 1) > 1:
+        kwargs.pop("groups", None)
+        return SeparableConv1d(**kwargs)
+    return Conv1d(**kwargs)
+
+
+def fold_weight_norm(params):
+    """Bake (g, v) weight-norm pairs into plain kernels for inference.
+
+    Mirrors remove_weight_norm (vdecoder/hifigan/models.py:396-403). Works on
+    any param pytree: wherever a dict has 'kernel' plus 'g' (Conv1d: norm per
+    output channel, axis 2) or 'g_in' (ConvTranspose1d: per input channel,
+    axis 1), replace kernel by the normalized product and drop the gain.
+    """
+
+    def fold(tree):
+        if isinstance(tree, dict):
+            if "kernel" in tree and ("g" in tree or "g_in" in tree):
+                v = tree["kernel"]
+                axis = 2 if "g" in tree else 1
+                g = tree.get("g", tree.get("g_in"))
+                shape = [1, 1, 1]
+                shape[axis] = -1
+                kernel = v * (g.reshape(shape) / _norm_except(v, axis))
+                out = {
+                    k: val
+                    for k, val in tree.items()
+                    if k not in ("kernel", "g", "g_in")
+                }
+                out["kernel"] = kernel
+                return out
+            return {k: fold(v) for k, v in tree.items()}
+        return tree
+
+    return fold(params)
