@@ -214,3 +214,136 @@ def coupling_block(
         else:
             out["shared_wn"] = wavenet(sd, prefix + "wn.")
     return out
+
+
+def resblock(sd: dict, prefix: str = "", n: int = 3, two_stage: bool = True) -> dict:
+    """ResBlock1 (convs1+convs2) or ResBlock2 (convs) -> ResBlock params."""
+    out = {}
+    if two_stage:
+        for j in range(n):
+            out[f"conv1_{j}"] = conv1d_maybe_wn(sd, prefix + f"convs1.{j}.")
+            out[f"conv2_{j}"] = conv1d_maybe_wn(sd, prefix + f"convs2.{j}.")
+    else:
+        for j in range(n):
+            out[f"conv_{j}"] = conv1d_maybe_wn(sd, prefix + f"convs.{j}.")
+    return out
+
+
+def nsf_hifigan_generator(
+    sd: dict,
+    prefix: str = "",
+    n_upsamples: int = 5,
+    n_kernels: int = 3,
+    resblock_type: str = "1",
+    n_dilations: int = 3,
+) -> dict:
+    """vdecoder/hifigan Generator state_dict -> Generator params."""
+    out = {
+        "conv_pre": conv1d_wn(sd, prefix + "conv_pre."),
+        "conv_post": conv1d_wn(sd, prefix + "conv_post."),
+        "m_source": {"merge": dense(sd, prefix + "m_source.l_linear.")},
+    }
+    if any(k.startswith(prefix + "cond.") for k in sd):
+        out["cond"] = conv1d(sd, prefix + "cond.")
+    for i in range(n_upsamples):
+        out[f"up_{i}"] = conv_transpose1d_wn(sd, prefix + f"ups.{i}.")
+        out[f"noise_conv_{i}"] = conv1d(sd, prefix + f"noise_convs.{i}.")
+        for j in range(n_kernels):
+            out[f"resblock_{i}_{j}"] = resblock(
+                sd,
+                prefix + f"resblocks.{i * n_kernels + j}.",
+                n=n_dilations if resblock_type == "1" else 2,
+                two_stage=resblock_type == "1",
+            )
+    return out
+
+
+def conv2d_wn(sd: dict, prefix: str = "") -> dict:
+    """weight_norm'd nn.Conv2d -> Conv2d{kernel, g, bias}.
+
+    torch (out, in, kh, kw) -> flax (kh, kw, in, out).
+    """
+    sd = _sub(sd, prefix)
+    out = {
+        "kernel": np.transpose(sd["weight_v"], (2, 3, 1, 0)),
+        "g": sd["weight_g"].reshape(-1),
+    }
+    if "bias" in sd:
+        out["bias"] = sd["bias"]
+    return out
+
+
+def discriminator_p(sd: dict, prefix: str = "") -> dict:
+    out = {f"conv_{i}": conv2d_wn(sd, prefix + f"convs.{i}.") for i in range(5)}
+    out["conv_post"] = conv2d_wn(sd, prefix + "conv_post.")
+    return out
+
+
+def discriminator_s(sd: dict, prefix: str = "") -> dict:
+    out = {f"conv_{i}": conv1d_wn(sd, prefix + f"convs.{i}.") for i in range(6)}
+    out["conv_post"] = conv1d_wn(sd, prefix + "conv_post.")
+    return out
+
+
+def multi_period_discriminator(sd: dict, prefix: str = "", periods=(2, 3, 5, 7, 11)) -> dict:
+    """models.MultiPeriodDiscriminator (models.py:230-252): slot 0 is the
+    scale disc, slots 1..5 the period discs."""
+    out = {"disc_s": discriminator_s(sd, prefix + "discriminators.0.")}
+    for i, p in enumerate(periods):
+        out[f"disc_p{p}"] = discriminator_p(sd, prefix + f"discriminators.{i + 1}.")
+    return out
+
+
+def synthesizer(
+    sd: dict,
+    prefix: str = "",
+    n_flows: int = 4,
+    use_transformer_flow: bool = False,
+    flow_share_parameter: bool = False,
+    use_automatic_f0_prediction: bool = True,
+    vol_embedding: bool = False,
+    n_upsamples: int = 5,
+    n_resblock_kernels: int = 3,
+    resblock_type: str = "1",
+) -> dict:
+    """models.SynthesizerTrn state_dict -> Synthesizer params (models.py:339-533)."""
+    out = {
+        "emb_g": embedding(sd, prefix + "emb_g."),
+        "emb_uv": embedding(sd, prefix + "emb_uv."),
+        "pre": conv1d(sd, prefix + "pre."),
+        "enc_p": {
+            "f0_emb": embedding(sd, prefix + "enc_p.f0_emb."),
+            "enc": attn_encoder(sd, prefix + "enc_p.enc_."),
+            "proj": conv1d(sd, prefix + "enc_p.proj."),
+        },
+        "enc_q": {
+            "pre": conv1d(sd, prefix + "enc_q.pre."),
+            "enc": wavenet(sd, prefix + "enc_q.enc."),
+            "proj": conv1d(sd, prefix + "enc_q.proj."),
+        },
+        "flow": coupling_block(
+            sd,
+            prefix + "flow.",
+            n_flows=n_flows,
+            transformer=use_transformer_flow,
+            share_parameter=flow_share_parameter,
+        ),
+        "dec": nsf_hifigan_generator(
+            sd,
+            prefix + "dec.",
+            n_upsamples=n_upsamples,
+            n_kernels=n_resblock_kernels,
+            resblock_type=resblock_type,
+        ),
+    }
+    if vol_embedding:
+        out["emb_vol"] = dense(sd, prefix + "emb_vol.")
+    if use_automatic_f0_prediction:
+        out["f0_decoder"] = {
+            "prenet": conv1d(sd, prefix + "f0_decoder.prenet."),
+            "decoder": attn_fft(sd, prefix + "f0_decoder.decoder."),
+            "proj": conv1d(sd, prefix + "f0_decoder.proj."),
+            "f0_prenet": conv1d(sd, prefix + "f0_decoder.f0_prenet."),
+            "cond": conv1d(sd, prefix + "f0_decoder.cond."),
+        }
+    return out

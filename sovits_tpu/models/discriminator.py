@@ -1,0 +1,149 @@
+"""GAN discriminators: multi-period + scale (models.py:165-252).
+
+``MultiPeriodDiscriminator`` = one DiscriminatorS (grouped-conv 1-D tower)
+plus DiscriminatorP at periods (2, 3, 5, 7, 11), each returning logits and
+per-layer feature maps for the feature-matching loss.
+
+Waveforms are [B, T, 1]. The period discriminators fold time into
+[B, T/p, p, 1] (NHWC) and convolve with (k, 1) kernels — each period conv is
+a batched matmul on the MXU. use_spectral_norm=True is not implemented
+(the reference default config never enables it, config_template.json:59).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.conv import Conv1d, Conv2d
+from ..nn.resblocks import leaky_relu
+
+PERIODS = (2, 3, 5, 7, 11)
+
+
+class DiscriminatorP(nn.Module):
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        b, t, c = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)), mode="reflect")
+            t = t + n_pad
+        x = x.reshape(b, t // self.period, self.period, c)
+
+        fmap = []
+        pad = (self.kernel_size - 1) // 2
+        for i, ch in enumerate((32, 128, 512, 1024)):
+            x = Conv2d(
+                features=ch,
+                kernel_size=(self.kernel_size, 1),
+                strides=(self.stride, 1),
+                padding=(pad, 0),
+                weight_norm=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv_{i}",
+            )(x)
+            x = leaky_relu(x)
+            fmap.append(x)
+        x = Conv2d(
+            features=1024,
+            kernel_size=(self.kernel_size, 1),
+            strides=(1, 1),
+            padding=(pad, 0),
+            weight_norm=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv_4",
+        )(x)
+        x = leaky_relu(x)
+        fmap.append(x)
+        x = Conv2d(
+            features=1,
+            kernel_size=(3, 1),
+            padding=(1, 0),
+            weight_norm=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv_post",
+        )(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        b = x.shape[0]
+        fmap = []
+        specs = [
+            # (features, kernel, stride, groups, padding)
+            (16, 15, 1, 1, 7),
+            (64, 41, 4, 4, 20),
+            (256, 41, 4, 16, 20),
+            (1024, 41, 4, 64, 20),
+            (1024, 41, 4, 256, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        for i, (ch, k, s, grp, pad) in enumerate(specs):
+            x = Conv1d(
+                features=ch,
+                kernel_size=k,
+                stride=s,
+                groups=grp,
+                padding=pad,
+                weight_norm=True,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv_{i}",
+            )(x)
+            x = leaky_relu(x)
+            fmap.append(x)
+        x = Conv1d(
+            features=1,
+            kernel_size=3,
+            padding=1,
+            weight_norm=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv_post",
+        )(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: tuple[int, ...] = PERIODS
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jax.Array, y_hat: jax.Array):
+        """Returns (real_logits, fake_logits, real_fmaps, fake_fmaps)."""
+        discs = [
+            DiscriminatorS(dtype=self.dtype, param_dtype=self.param_dtype, name="disc_s")
+        ] + [
+            DiscriminatorP(
+                period=p, dtype=self.dtype, param_dtype=self.param_dtype, name=f"disc_p{p}"
+            )
+            for p in self.periods
+        ]
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for d in discs:
+            logit_r, fmap_r = d(y)
+            logit_g, fmap_g = d(y_hat)
+            y_d_rs.append(logit_r)
+            y_d_gs.append(logit_g)
+            fmap_rs.append(fmap_r)
+            fmap_gs.append(fmap_g)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs

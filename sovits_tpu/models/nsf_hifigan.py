@@ -1,0 +1,254 @@
+"""NSF-HiFiGAN generator: harmonic sine source + transposed-conv stack.
+
+Functional equivalent of vdecoder/hifigan/models.py:103-404 in the
+reference, re-derived for TPU:
+
+The reference builds the harmonic source with a length-T cumsum over
+per-sample phase increments plus an fp32 overflow-shift trick
+(models.py:138-195). Here the f0 track is piecewise-constant over hop
+frames (nearest x512 upsampling, models.py:330,369), so phase is computed
+*frame-exactly*:
+
+    base[k]   = cumsum of (upp * rad[k]) mod 1 over frames   (T/512 terms)
+    phase[k,j]= base[k] + (j+1) * rad[k] + rand_init          (parallel in j)
+
+— a tiny frame-rate cumsum plus a fully parallel broadcast, no length-T
+scan, and tighter phase error than the reference's trick. Everything else
+(upsample stages, noise convs on the source, 3-resblock fusion, tanh head)
+matches the reference topology exactly so checkpoints convert 1:1.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..nn.conv import Conv1d, ConvTranspose1d, torch_conv_kernel_init
+from ..nn.resblocks import ResBlock1, ResBlock2, leaky_relu, resblock_kernel_init
+
+
+def sine_source(
+    f0_frames: jax.Array,  # [B, T_frames] f0 in Hz (0 = unvoiced)
+    upp: int,
+    sample_rate: int,
+    harmonic_num: int = 8,
+    sine_amp: float = 0.1,
+    noise_std: float = 0.003,
+    voiced_threshold: float = 0.0,
+    rng: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Harmonic sine excitation at sample rate. Returns (sines, uv).
+
+    sines: [B, T_frames*upp, harmonic_num+1], uv: [B, T_frames*upp, 1].
+    rng=None disables the random initial harmonic phases and the additive
+    noise (deterministic mode for tests/export); with an rng this matches
+    SineGen.forward semantics (vdecoder/hifigan/models.py:197-271).
+    """
+    b, t_f = f0_frames.shape
+    h = harmonic_num + 1
+    harmonics = jnp.arange(1, h + 1, dtype=jnp.float32)  # [H]
+
+    f0 = f0_frames.astype(jnp.float32)[..., None]  # [B, T_f, 1]
+    rad = (f0 * harmonics / sample_rate) % 1.0  # [B, T_f, H]
+
+    # Frame-level phase bases (exclusive cumsum of per-frame phase advance).
+    frame_adv = (rad * upp) % 1.0
+    base = jnp.cumsum(frame_adv, axis=1) - frame_adv  # [B, T_f, H]
+
+    if rng is not None:
+        rng_phase, rng_noise = jax.random.split(rng)
+        rand_ini = jax.random.uniform(rng_phase, (b, 1, h))
+        rand_ini = rand_ini.at[..., 0].set(0.0)  # fundamental starts at 0
+    else:
+        rng_noise = None
+        rand_ini = jnp.zeros((b, 1, h))
+
+    offsets = jnp.arange(1, upp + 1, dtype=jnp.float32)  # inclusive cumsum
+    phase = (
+        base[:, :, None, :]
+        + offsets[None, None, :, None] * rad[:, :, None, :]
+        + rand_ini[:, :, None, :]
+    )
+    sines = jnp.sin(2.0 * math.pi * phase).reshape(b, t_f * upp, h)
+
+    uv = (jnp.repeat(f0_frames, upp, axis=1) > voiced_threshold).astype(jnp.float32)
+    uv = uv[..., None]  # [B, T, 1]
+
+    sines = sines * sine_amp
+    if rng_noise is not None:
+        noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
+        noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
+        sines = sines * uv + noise
+    else:
+        sines = sines * uv
+    return sines, uv
+
+
+class SourceModuleHnNSF(nn.Module):
+    """Merge harmonics into one excitation channel via linear+tanh.
+
+    vdecoder/hifigan/models.py:274-320.
+    """
+
+    sample_rate: int
+    harmonic_num: int = 8
+    sine_amp: float = 0.1
+    add_noise_std: float = 0.003
+    voiced_threshold: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, f0_frames: jax.Array, upp: int, rng: jax.Array | None = None
+    ) -> tuple[jax.Array, jax.Array]:
+        sines, uv = sine_source(
+            f0_frames,
+            upp,
+            self.sample_rate,
+            self.harmonic_num,
+            self.sine_amp,
+            self.add_noise_std,
+            self.voiced_threshold,
+            rng,
+        )
+        # torch nn.Linear default init.
+        fan_in = self.harmonic_num + 1
+        merged = nn.Dense(
+            1,
+            kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="merge",
+        )(sines.astype(self.dtype))
+        del fan_in
+        har_source = jnp.tanh(merged)  # [B, T, 1]
+        return har_source, uv
+
+
+class Generator(nn.Module):
+    """NSF-HiFiGAN decoder (vdecoder/hifigan/models.py:323-394).
+
+    latent [B, T_frames, C] + f0 [B, T_frames] + speaker g [B, 1, gin]
+    -> waveform [B, T_frames * prod(upsample_rates), 1].
+    """
+
+    sampling_rate: int = 44100
+    inter_channels: int = 192
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (8, 8, 2, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4, 4)
+    gin_channels: int = 768
+    separable: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, T_frames, inter_channels]
+        f0: jax.Array,  # [B, T_frames] Hz
+        g: jax.Array | None = None,  # [B, 1, gin]
+        rng: jax.Array | None = None,
+    ) -> jax.Array:
+        upp = int(np.prod(self.upsample_rates))
+        num_kernels = len(self.resblock_kernel_sizes)
+
+        har_source, _ = SourceModuleHnNSF(
+            sample_rate=self.sampling_rate,
+            harmonic_num=8,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="m_source",
+        )(f0, upp, rng)
+
+        x = Conv1d(
+            features=self.upsample_initial_channel,
+            kernel_size=7,
+            padding=3,
+            weight_norm=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv_pre",
+        )(x)
+        if g is not None:
+            x = x + Conv1d(
+                features=self.upsample_initial_channel,
+                kernel_size=1,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="cond",
+            )(g)
+
+        resblock_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
+            ch = self.upsample_initial_channel // (2 ** (i + 1))
+            x = leaky_relu(x)
+            x = ConvTranspose1d(
+                features=ch,
+                kernel_size=k,
+                stride=u,
+                padding=(k - u + 1) // 2,
+                weight_norm=True,
+                kernel_init=resblock_kernel_init,  # init_weights N(0, 0.01)
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"up_{i}",
+            )(x)
+            # Downsample the full-rate source to this stage's frame rate.
+            if i + 1 < len(self.upsample_rates):
+                stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
+                x_source = Conv1d(
+                    features=ch,
+                    kernel_size=stride_f0 * 2,
+                    stride=stride_f0,
+                    padding=(stride_f0 + 1) // 2,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"noise_conv_{i}",
+                )(har_source)
+            else:
+                x_source = Conv1d(
+                    features=ch,
+                    kernel_size=1,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"noise_conv_{i}",
+                )(har_source)
+            x = x + x_source
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+            ):
+                rb = resblock_cls(
+                    channels=ch,
+                    kernel_size=rk,
+                    dilations=tuple(rd),
+                    separable=self.separable,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"resblock_{i}_{j}",
+                )(x)
+                xs = rb if xs is None else xs + rb
+            x = xs / num_kernels
+
+        x = leaky_relu(x, 0.01)  # torch default F.leaky_relu slope
+        x = Conv1d(
+            features=1,
+            kernel_size=7,
+            padding=3,
+            weight_norm=True,
+            kernel_init=resblock_kernel_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv_post",
+        )(x)
+        return jnp.tanh(x)

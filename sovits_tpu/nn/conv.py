@@ -251,3 +251,58 @@ def fold_weight_norm(params):
         return tree
 
     return fold(params)
+
+
+class Conv2d(nn.Module):
+    """Channels-last (NHWC) conv2d with optional torch-style weight norm.
+
+    Used by the period discriminators (models.py:165-199): kernels (k, 1),
+    strides (s, 1). kernel layout: [kh, kw, in_ch, out_ch]; weight norm is
+    per output channel over (kh, kw, in) — torch dim=0 on (out, in, kh, kw).
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    weight_norm: bool = False
+    kernel_init: Callable = torch_conv_kernel_init
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, in_ch, self.features)
+        fan_in = kh * kw * in_ch
+
+        v = self.param("kernel", self.kernel_init, kshape, self.param_dtype)
+        if self.weight_norm:
+            g = self.param(
+                "g",
+                lambda key, shape, dtype=self.param_dtype: _norm_except(
+                    self.kernel_init(key, kshape, dtype), 3
+                ).reshape(shape),
+                (self.features,),
+                self.param_dtype,
+            )
+            kernel = v * (g.reshape(1, 1, 1, -1) / _norm_except(v, 3))
+        else:
+            kernel = v
+
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=((ph, ph), (pw, pw)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param(
+                "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+            y = y + b.astype(self.dtype)
+        return y
