@@ -1,0 +1,87 @@
+"""Model construction + parameter initialization from a config.
+
+Includes the reference's proximal initialization (attentions.py:193-196:
+causal-FFT attention starts with conv_k == conv_q) applied post-init to the
+f0 decoder and transformer-flow attention stacks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HParams, synthesizer_kwargs
+from .discriminator import MultiPeriodDiscriminator
+from .synthesizer import Synthesizer
+
+
+def _copy_q_to_k(tree: dict) -> None:
+    """In-place: for each attn_* subdict, set key params := query params."""
+    for name, sub in tree.items():
+        if name.startswith("attn_") and isinstance(sub, dict) and "query" in sub:
+            sub["key"] = {k: jnp.array(v) for k, v in sub["query"].items()}
+
+
+def apply_proximal_init(params: dict) -> dict:
+    """Copy q->k in every causal-FFT attention (f0 decoder, transformer flow)."""
+    if "f0_decoder" in params:
+        _copy_q_to_k(params["f0_decoder"].get("decoder", {}))
+    flow = params.get("flow", {})
+    for name, sub in flow.items():
+        if name.startswith("coupling_") and "enc" in sub and any(
+            k.startswith("attn_") for k in sub["enc"]
+        ):
+            _copy_q_to_k(sub["enc"])
+    if "shared_enc" in flow:
+        _copy_q_to_k(flow["shared_enc"])
+    return params
+
+
+def build_synthesizer(hps: HParams, dtype=jnp.float32) -> Synthesizer:
+    return Synthesizer(dtype=dtype, **synthesizer_kwargs(hps))
+
+
+def build_discriminator(hps: HParams, dtype=jnp.float32) -> MultiPeriodDiscriminator:
+    if hps.model.use_spectral_norm:
+        raise NotImplementedError(
+            "use_spectral_norm=True is not supported (reference default is False)"
+        )
+    return MultiPeriodDiscriminator(dtype=dtype)
+
+
+def init_synthesizer_params(
+    module: Synthesizer, rng: jax.Array, hps: HParams, t_frames: int = 32, batch: int = 1
+) -> dict:
+    d = hps.data
+    m = hps.model
+    dummy = dict(
+        c=jnp.zeros((batch, t_frames, m.ssl_dim)),
+        f0=jnp.full((batch, t_frames), 220.0),
+        uv=jnp.ones((batch, t_frames)),
+        spec=jnp.zeros((batch, t_frames, d.filter_length // 2 + 1)),
+        spk=jnp.zeros((batch,), jnp.int32),
+        lengths=jnp.full((batch,), t_frames, jnp.int32),
+        vol=jnp.zeros((batch, t_frames)) if m.vol_embedding else None,
+    )
+    rng_p, rng_n, rng_s, rng_d = jax.random.split(rng, 4)
+    variables = module.init(
+        {"params": rng_p, "noise": rng_n, "slice": rng_s, "dropout": rng_d},
+        dummy["c"],
+        dummy["f0"],
+        dummy["uv"],
+        dummy["spec"],
+        dummy["spk"],
+        dummy["lengths"],
+        vol=dummy["vol"],
+        deterministic=False,
+    )
+    params = variables["params"]
+    params = apply_proximal_init(jax.tree.map(lambda x: x, params))
+    return params
+
+
+def init_discriminator_params(
+    module: MultiPeriodDiscriminator, rng: jax.Array, seg_samples: int = 10240, batch: int = 1
+) -> dict:
+    y = jnp.zeros((batch, seg_samples, 1))
+    return module.init({"params": rng}, y, y)["params"]

@@ -1,0 +1,9 @@
+"""Device mesh + sharding rules."""
+
+from .mesh import (
+    data_sharding,
+    make_mesh,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,160 @@
+"""Training-stack tests: loss parity vs reference + multi-device smoke train.
+
+The smoke test runs the full fused GAN step (D update + G update) on the
+8-device virtual CPU mesh with the batch sharded over 'data' — the
+multi-chip path exercised without TPUs (SURVEY.md section 4).
+"""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_ref import setup_reference_imports
+
+setup_reference_imports()
+
+import modules.losses as ref_losses  # noqa: E402
+
+from sovits_tpu import config as scfg  # noqa: E402
+from sovits_tpu import train as strain  # noqa: E402
+from sovits_tpu.models import factory  # noqa: E402
+from sovits_tpu.parallel import make_mesh, replicate_tree, shard_batch  # noqa: E402
+
+
+def test_losses_match_reference():
+    rng = np.random.default_rng(0)
+    reals = [rng.standard_normal((2, 30)).astype(np.float32) for _ in range(3)]
+    fakes = [rng.standard_normal((2, 30)).astype(np.float32) for _ in range(3)]
+
+    ref_d, _, _ = ref_losses.discriminator_loss(
+        [torch.from_numpy(r) for r in reals], [torch.from_numpy(f) for f in fakes]
+    )
+    got_d, _, _ = strain.discriminator_loss(
+        [jnp.asarray(r) for r in reals], [jnp.asarray(f) for f in fakes]
+    )
+    np.testing.assert_allclose(float(got_d), ref_d.item(), rtol=1e-5)
+
+    ref_g, _ = ref_losses.generator_loss([torch.from_numpy(f) for f in fakes])
+    got_g, _ = strain.generator_loss([jnp.asarray(f) for f in fakes])
+    np.testing.assert_allclose(float(got_g), ref_g.item(), rtol=1e-5)
+
+    fmap_r = [[rng.standard_normal((2, 8, 4)).astype(np.float32) for _ in range(2)] for _ in range(3)]
+    fmap_g = [[rng.standard_normal((2, 8, 4)).astype(np.float32) for _ in range(2)] for _ in range(3)]
+    ref_fm = ref_losses.feature_loss(
+        [[torch.from_numpy(a) for a in d] for d in fmap_r],
+        [[torch.from_numpy(a) for a in d] for d in fmap_g],
+    )
+    got_fm = strain.feature_loss(
+        [[jnp.asarray(a) for a in d] for d in fmap_r],
+        [[jnp.asarray(a) for a in d] for d in fmap_g],
+    )
+    np.testing.assert_allclose(float(got_fm), ref_fm.item(), rtol=1e-5)
+
+    # kl: reference layout [B, C, T] with mask [B, 1, T]
+    z_p = rng.standard_normal((2, 6, 20)).astype(np.float32)
+    logs_q = rng.standard_normal((2, 6, 20)).astype(np.float32) * 0.1
+    m_p = rng.standard_normal((2, 6, 20)).astype(np.float32)
+    logs_p = rng.standard_normal((2, 6, 20)).astype(np.float32) * 0.1
+    mask = np.ones((2, 1, 20), dtype=np.float32)
+    mask[1, :, 15:] = 0
+    ref_kl = ref_losses.kl_loss(*[torch.from_numpy(a) for a in (z_p, logs_q, m_p, logs_p, mask)])
+    got_kl = strain.kl_loss(
+        jnp.asarray(z_p.transpose(0, 2, 1)),
+        jnp.asarray(logs_q.transpose(0, 2, 1)),
+        jnp.asarray(m_p.transpose(0, 2, 1)),
+        jnp.asarray(logs_p.transpose(0, 2, 1)),
+        jnp.asarray(mask.transpose(0, 2, 1)),
+    )
+    np.testing.assert_allclose(float(got_kl), ref_kl.item(), rtol=1e-5)
+
+
+def _tiny_hps():
+    return scfg.default_config(
+        **{
+            "train.segment_size": 256,
+            "train.batch_size": 8,
+            "data.sampling_rate": 8000,
+            "data.filter_length": 128,
+            "data.hop_length": 64,
+            "data.win_length": 128,
+            "data.n_mel_channels": 20,
+            "data.mel_fmax": 4000,
+            "data.pad_to_frames": 16,
+            "model.inter_channels": 32,
+            "model.hidden_channels": 32,
+            "model.filter_channels": 64,
+            "model.n_layers": 1,
+            "model.upsample_rates": [4, 4, 4],
+            "model.upsample_kernel_sizes": [8, 8, 8],
+            "model.upsample_initial_channel": 32,
+            "model.gin_channels": 16,
+            "model.ssl_dim": 24,
+            "model.n_speakers": 4,
+            "model.n_flow_layer": 2,
+        }
+    )
+
+
+def _synthetic_batch(hps, b, t):
+    rng = np.random.default_rng(1)
+    hop = hps.data.hop_length
+    lengths = np.full((b,), t, np.int32)
+    lengths[1] = t - 4
+    return {
+        "c": rng.standard_normal((b, t, hps.model.ssl_dim)).astype(np.float32),
+        "f0": rng.uniform(80, 400, (b, t)).astype(np.float32),
+        "uv": (rng.uniform(size=(b, t)) > 0.2).astype(np.float32),
+        "spec": np.abs(rng.standard_normal((b, t, hps.data.filter_length // 2 + 1))).astype(np.float32),
+        "wav": (rng.standard_normal((b, t * hop, 1)) * 0.1).astype(np.float32),
+        "spk": rng.integers(0, 4, (b,)).astype(np.int32),
+        "lengths": lengths,
+        "volume": np.abs(rng.standard_normal((b, t))).astype(np.float32) * 0.05,
+    }
+
+
+def test_fused_gan_train_step_on_mesh():
+    hps = _tiny_hps()
+    mesh = make_mesh()  # 8 virtual CPU devices x (data=8, model=1)
+    assert mesh.devices.size == 8
+
+    syn = factory.build_synthesizer(hps)
+    disc = factory.build_discriminator(hps)
+    g_params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16, batch=1)
+    d_params = factory.init_discriminator_params(disc, jax.random.PRNGKey(1), seg_samples=hps.train.segment_size)
+
+    g_tx = strain.make_optimizer(hps)
+    d_tx = strain.make_optimizer(hps)
+    state = strain.create_train_state(g_params, d_params, g_tx, d_tx)
+    state = replicate_tree(state, mesh)
+
+    step_fn = strain.make_train_step(syn, disc, g_tx, d_tx, hps)
+
+    batch = shard_batch(
+        {k: jnp.asarray(v) for k, v in _synthetic_batch(hps, 8, 16).items()}, mesh
+    )
+
+    g0 = np.asarray(jax.tree.leaves(state.g_params)[0]).copy()
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(42))
+    m1 = {k: float(v) for k, v in metrics.items()}
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(43))
+    m2 = {k: float(v) for k, v in metrics.items()}
+
+    for k, v in {**m1, **m2}.items():
+        assert np.isfinite(v), (k, v)
+    assert int(state.step) == 2
+    g1 = np.asarray(jax.tree.leaves(state.g_params)[0])
+    assert not np.allclose(g0, g1)  # params actually updated
+    assert m1["loss/g/mel"] > 0 and m1["loss/d/total"] > 0
+
+
+def test_proximal_init_copies_q_to_k():
+    hps = _tiny_hps()
+    syn = factory.build_synthesizer(hps)
+    params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16)
+    att = params["f0_decoder"]["decoder"]["attn_0"]
+    np.testing.assert_array_equal(np.asarray(att["query"]["kernel"]), np.asarray(att["key"]["kernel"]))
+    # content encoder attention must NOT be proximal-initialized
+    att_enc = params["enc_p"]["enc"]["attn_0"]
+    assert not np.array_equal(np.asarray(att_enc["query"]["kernel"]), np.asarray(att_enc["key"]["kernel"]))
