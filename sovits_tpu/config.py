@@ -214,4 +214,5 @@ def synthesizer_kwargs(hps: HParams) -> dict:
         n_flow_layer=m.n_flow_layer,
         n_layers_trans_flow=m.n_layers_trans_flow,
         use_transformer_flow=bool(m.use_transformer_flow),
+        n_layers_q=m.get("n_layers_posterior", 16),
     )

@@ -240,6 +240,7 @@ class Synthesizer(nn.Module):
     n_flow_layer: int = 4
     n_layers_trans_flow: int = 3
     use_transformer_flow: bool = False
+    n_layers_q: int = 16  # posterior WN depth (reference hardcodes 16, models.py:437)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -278,7 +279,7 @@ class Synthesizer(nn.Module):
             hidden_channels=self.hidden_channels,
             kernel_size=5,
             dilation_rate=1,
-            n_layers=16,
+            n_layers=self.n_layers_q,
             gin_channels=self.gin_channels,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
