@@ -1,0 +1,94 @@
+"""F0 predictor accuracy tests on synthetic harmonic signals."""
+
+import numpy as np
+import pytest
+
+from sovits_tpu.f0 import get_f0_predictor
+
+SR = 44100
+HOP = 512
+
+
+def make_tone(freqs, seconds=1.0, sr=SR, harmonics=4):
+    """Harmonic tone with piecewise-constant or array f0; returns (wav, f0_track)."""
+    n = int(seconds * sr)
+    n -= n % HOP
+    if np.isscalar(freqs):
+        f0 = np.full(n, float(freqs))
+    else:
+        f0 = np.interp(np.arange(n), np.linspace(0, n - 1, len(freqs)), freqs)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    wav = np.zeros(n)
+    for h in range(1, harmonics + 1):
+        wav += np.sin(h * phase) / h
+    wav *= 0.3 / np.max(np.abs(wav))
+    frame_f0 = f0[:: HOP][: n // HOP]
+    return wav.astype(np.float32), frame_f0
+
+
+@pytest.mark.parametrize("name", ["dio", "harvest", "pm", "yin"])
+def test_constant_tone(name):
+    wav, true_f0 = make_tone(220.0, seconds=0.7)
+    pred = get_f0_predictor(name, HOP, SR)
+    f0, uv = pred.compute_f0_uv(wav)
+    assert f0.shape == true_f0.shape
+    # interior frames (edges have boundary effects)
+    mid = slice(5, len(f0) - 5)
+    rel_err = np.abs(f0[mid] - 220.0) / 220.0
+    assert np.median(rel_err) < 0.01, (name, np.median(rel_err))
+    assert uv[mid].mean() > 0.9
+
+
+@pytest.mark.parametrize("name", ["dio", "pm", "yin"])
+def test_gliding_tone(name):
+    wav, true_f0 = make_tone(np.linspace(150, 400, 40), seconds=1.0)
+    pred = get_f0_predictor(name, HOP, SR)
+    f0, uv = pred.compute_f0_uv(wav)
+    mid = slice(5, len(f0) - 5)
+    rel_err = np.abs(f0[mid] - true_f0[mid]) / true_f0[mid]
+    # pm's 3-period Boersma window (60 ms at floor 50 Hz) inherently smears
+    # a 0.4 octave/s glide by ~3%; dio/yin track more locally.
+    tol = 0.035 if name == "pm" else 0.02
+    assert np.median(rel_err) < tol, (name, np.median(rel_err))
+
+
+@pytest.mark.parametrize("name", ["dio", "pm", "yin"])
+def test_silence_is_unvoiced(name):
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(SR // 2) * 1e-4).astype(np.float32)
+    pred = get_f0_predictor(name, HOP, SR)
+    f0, uv = pred.compute_f0_uv(wav)
+    assert uv.mean() < 0.4, (name, uv.mean())
+
+
+def test_voiced_unvoiced_segmentation():
+    wav_v, _ = make_tone(220.0, seconds=0.4)
+    rng = np.random.default_rng(1)
+    wav_u = (rng.standard_normal(len(wav_v)) * 5e-4).astype(np.float32)
+    wav = np.concatenate([wav_u, wav_v, wav_u])
+    pred = get_f0_predictor("dio", HOP, SR)
+    f0, uv = pred.compute_f0_uv(wav)
+    third = len(uv) // 3
+    assert uv[third + 3 : 2 * third - 3].mean() > 0.8
+    assert uv[: third - 3].mean() < 0.5
+    # f0 interpolated everywhere (no zeros) per the reference contract
+    assert (f0 > 0).all()
+
+
+def test_crepe_requires_weights():
+    with pytest.raises(FileNotFoundError):
+        get_f0_predictor("crepe", HOP, SR)
+
+
+def test_crepe_net_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from sovits_tpu.f0.crepe import PITCH_BINS, CrepeNet
+
+    net = CrepeNet(capacity="tiny")
+    frames = jnp.zeros((3, 1024))
+    variables = net.init(jax.random.PRNGKey(0), frames)
+    out = net.apply(variables, frames)
+    assert out.shape == (3, PITCH_BINS)
+    assert ((out >= 0) & (out <= 1)).all()
