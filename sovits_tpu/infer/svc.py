@@ -1,0 +1,383 @@
+"""Svc — the inference facade (inference/infer_tool.py:116-546 equivalent).
+
+Pipeline per clip (infer_tool.py:256-340):
+  load/resample -> f0 predictor (+ transpose shift 2^(tran/12)) -> 16 kHz
+  resample -> speech encoder -> repeat_expand to f0 frames -> optional
+  cluster / feature-retrieval blend -> synthesizer infer -> optional
+  loudness-envelope mix.
+
+TPU-first: inputs are padded to length buckets so each bucket compiles once;
+padded frames are masked in the synthesizer and trimmed from the output.
+Model weights load from either a sovits_tpu orbax checkpoint directory or a
+reference-trained torch G_*.pth (converted on the fly).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as scfg
+from ..dsp import stft as dsp_stft
+from ..dsp.audio import change_rms, repeat_expand, resample
+from ..f0 import get_f0_predictor
+from ..models import Synthesizer, factory
+from ..train import checkpoint as ckpt_lib
+from . import slicer as slicer_mod
+
+logger = logging.getLogger(__name__)
+
+BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+class F0FilterException(Exception):
+    pass
+
+
+def pad_array(arr: np.ndarray, target_length: int) -> np.ndarray:
+    """Center-pad / center-crop to target length (infer_tool.py:84-106)."""
+    n = len(arr)
+    if n >= target_length:
+        start = (n - target_length) // 2
+        return arr[start : start + target_length]
+    pad = target_length - n
+    return np.pad(arr, (pad // 2, pad - pad // 2))
+
+
+def split_list_by_n(data, n: int, pre: int = 0):
+    for i in range(0, len(data), n):
+        yield data[max(i - pre, 0) if i - pre >= 0 else i : i + n]
+
+
+def crossfade(a: np.ndarray, b: np.ndarray, fade_len: int) -> np.ndarray:
+    """Linear crossfade joining a's tail into b's head (maad-style)."""
+    fade = np.linspace(0, 1, fade_len)
+    mixed = a[-fade_len:] * (1 - fade) + b[:fade_len] * fade
+    return np.concatenate([a[:-fade_len], mixed, b[fade_len:]])
+
+
+class Svc:
+    def __init__(
+        self,
+        net_g_path: str,
+        config_path: str,
+        encoder=None,
+        cluster_model_path: str | None = None,
+        feature_retrieval: bool = False,
+        shallow_diffusion: bool = False,
+        diffusion_model_path: str | None = None,
+        diffusion_config_path: str | None = None,
+        dtype=jnp.float32,
+    ):
+        self.hps = scfg.load_config(config_path)
+        self.target_sample = self.hps.data.sampling_rate
+        self.hop_size = self.hps.data.hop_length
+        self.spk2id = dict(self.hps.spk.items()) if self.hps.spk else {}
+        self.unit_interpolate_mode = self.hps.data.unit_interpolate_mode or "left"
+        self.vol_embedding = bool(self.hps.model.vol_embedding)
+
+        self.model = factory.build_synthesizer(self.hps, dtype=dtype)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            init_params = factory.init_synthesizer_params(
+                self.model, jax.random.PRNGKey(0), self.hps, t_frames=16
+            )
+        self.params = self._load_params(net_g_path, init_params)
+        self._infer_jit = {}
+        self.f0_predictor_object = None
+
+        if encoder is None:
+            from ..encoders import get_speech_encoder
+
+            encoder = get_speech_encoder(
+                self.hps.model.speech_encoder or "vec768l12"
+            )
+        self.encoder = encoder
+
+        self.cluster = None
+        self.feature_retrieval = feature_retrieval
+        if cluster_model_path and Path(cluster_model_path).exists():
+            from ..cluster import load_cluster_model
+
+            self.cluster = load_cluster_model(cluster_model_path, feature_retrieval)
+
+        self.diffusion = None
+        if shallow_diffusion and diffusion_model_path:
+            from .diffusion_wrapper import DiffusionRefiner
+
+            self.diffusion = DiffusionRefiner(
+                diffusion_model_path, diffusion_config_path
+            )
+
+    def _load_params(self, path: str, init_params: dict) -> dict:
+        p = Path(path)
+        if p.suffix in (".pth", ".pt"):
+            params, it = ckpt_lib.load_torch_generator(str(p), self.hps, init_params)
+            logger.info("loaded torch checkpoint %s (iteration %s)", p, it)
+            return params
+        # orbax checkpoint dir written by the trainer
+        from ..train.step import create_train_state, make_optimizer
+
+        tx = make_optimizer(self.hps)
+        from ..models import MultiPeriodDiscriminator
+
+        disc = MultiPeriodDiscriminator()
+        d_params = factory.init_discriminator_params(
+            disc, jax.random.PRNGKey(1), seg_samples=self.hps.train.segment_size
+        )
+        state = create_train_state(init_params, d_params, tx, tx)
+        mgr = ckpt_lib.CheckpointManager(p, keep=1)
+        restored, _ = mgr.restore(state)
+        mgr.close()
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint found under {p}")
+        return restored.g_params
+
+    # ------------------------------------------------------------------
+    def get_unit_f0(
+        self, wav: np.ndarray, tran: int, cluster_infer_ratio: float, speaker,
+        f0_filter: bool = False, f0_predictor: str = "pm", cr_threshold: float = 0.05,
+    ):
+        """infer_tool.py:204-254: f0 + units aligned to f0 frames."""
+        if (
+            self.f0_predictor_object is None
+            or self.f0_predictor_object.name != f0_predictor
+        ):
+            self.f0_predictor_object = get_f0_predictor(
+                f0_predictor,
+                hop_length=self.hop_size,
+                sampling_rate=self.target_sample,
+                threshold=cr_threshold,
+            )
+        f0, uv = self.f0_predictor_object.compute_f0_uv(wav)
+        if f0_filter and float(np.sum(f0)) == 0.0:
+            raise F0FilterException("No voice detected")
+        f0 = f0 * 2 ** (tran / 12)
+
+        wav16k = resample(wav, self.target_sample, 16000)
+        units = np.asarray(self.encoder.encode(wav16k))  # [T_units, H]
+        units = np.asarray(
+            repeat_expand(jnp.asarray(units), len(f0), self.unit_interpolate_mode)
+        )
+
+        if cluster_infer_ratio != 0 and self.cluster is not None:
+            units = self.cluster.blend(
+                units, speaker, cluster_infer_ratio, self.spk2id,
+                retrieval=self.feature_retrieval,
+            )
+        return units, f0, uv
+
+    def _jit_for_bucket(self, t: int):
+        if t not in self._infer_jit:
+
+            def fn(params, c, f0, uv, spk, vol, lengths, noise_scale, predict_f0, key):
+                return self.model.apply(
+                    {"params": params},
+                    c,
+                    f0,
+                    uv,
+                    spk,
+                    noise_scale=noise_scale,
+                    predict_f0=predict_f0,
+                    vol=vol,
+                    lengths=lengths,
+                    rngs={"noise": key},
+                    method=Synthesizer.infer,
+                )
+
+            self._infer_jit[t] = jax.jit(fn, static_argnames=("predict_f0",))
+        return self._infer_jit[t]
+
+    def infer(
+        self,
+        speaker,
+        tran: int,
+        wav: np.ndarray,
+        sr: int | None = None,
+        cluster_infer_ratio: float = 0.0,
+        auto_predict_f0: bool = False,
+        noice_scale: float = 0.4,
+        f0_filter: bool = False,
+        f0_predictor: str = "pm",
+        cr_threshold: float = 0.05,
+        k_step: int = 100,
+        second_encoding: bool = False,
+        loudness_envelope_adjustment: float = 1.0,
+        seed: int = 52468,
+        spk_mix_frames: np.ndarray | None = None,
+    ):
+        """Convert one clip; returns (audio, n_samples, n_frames)."""
+        if sr is not None and sr != self.target_sample:
+            wav = resample(wav, sr, self.target_sample)
+        wav = np.asarray(wav, dtype=np.float32)
+
+        c, f0, uv = self.get_unit_f0(
+            wav, tran, cluster_infer_ratio, speaker, f0_filter, f0_predictor, cr_threshold
+        )
+        n_frames = len(f0)
+
+        vol = None
+        if self.vol_embedding:
+            vol = np.asarray(
+                dsp_stft.energy(jnp.asarray(wav[None, : n_frames * self.hop_size]), self.hop_size)
+            )
+
+        bucket = next((b for b in BUCKETS if b >= n_frames), n_frames)
+
+        def pad_t(x):
+            return np.pad(x, [(0, bucket - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+        if spk_mix_frames is not None:
+            # per-frame speaker-mix weights [T, S] (models.py:505-509 path)
+            spk = jnp.asarray(pad_t(np.asarray(spk_mix_frames[:n_frames], np.float32))[None])
+        else:
+            spk_id = self.spk2id.get(speaker)
+            if spk_id is None and isinstance(speaker, int):
+                spk_id = speaker
+            if spk_id is None:
+                raise RuntimeError("The name you entered is not in the speaker list!")
+            spk = jnp.asarray([int(spk_id)], jnp.int32)
+
+        fn = self._jit_for_bucket(bucket)
+        audio, _f0_out = fn(
+            self.params,
+            jnp.asarray(pad_t(c)[None]),
+            jnp.asarray(pad_t(f0.astype(np.float32))[None]),
+            jnp.asarray(pad_t(uv.astype(np.float32))[None]),
+            spk,
+            jnp.asarray(pad_t(vol[0])[None]) if vol is not None else None,
+            jnp.asarray([n_frames], jnp.int32),
+            noice_scale,
+            bool(auto_predict_f0),
+            jax.random.PRNGKey(seed),
+        )
+        audio = np.asarray(audio)[0, : n_frames * self.hop_size, 0]
+
+        if self.diffusion is not None:
+            audio = self.diffusion.refine(
+                self, audio, c, f0, vol, spk, k_step, second_encoding
+            )
+
+        if loudness_envelope_adjustment != 1:
+            audio = change_rms(
+                wav, self.target_sample, audio, self.target_sample,
+                loudness_envelope_adjustment,
+            )
+        return audio, audio.shape[-1], n_frames
+
+    # ------------------------------------------------------------------
+    def slice_inference(
+        self,
+        raw_audio: np.ndarray,
+        sr: int,
+        spk,
+        tran: int,
+        slice_db: float = -40,
+        cluster_infer_ratio: float = 0.0,
+        auto_predict_f0: bool = False,
+        noice_scale: float = 0.4,
+        pad_seconds: float = 0.5,
+        clip_seconds: float = 0.0,
+        lg_num: float = 0.0,
+        lgr_num: float = 0.75,
+        f0_predictor: str = "pm",
+        cr_threshold: float = 0.05,
+        k_step: int = 100,
+        second_encoding: bool = False,
+        loudness_envelope_adjustment: float = 1.0,
+    ) -> np.ndarray:
+        """Silence-sliced full-clip conversion (infer_tool.py:356-496)."""
+        chunks = slicer_mod.cut(raw_audio, sr, db_thresh=slice_db)
+        audio_data = slicer_mod.chunks2audio(raw_audio, chunks)
+        per_size = int(clip_seconds * sr)
+        lg_size = int(lg_num * sr)
+        lg_size_r = int(lg_size * lgr_num)
+        lg_size_c_l = (lg_size - lg_size_r) // 2
+        lg_size_c_r = lg_size - lg_size_r - lg_size_c_l
+        lg = np.linspace(0, 1, lg_size_r) if lg_size else None
+
+        audio: list[float] = []
+        for slice_tag, data in audio_data:
+            length = int(np.ceil(len(data) / sr * self.target_sample))
+            if slice_tag:
+                audio.extend(list(np.zeros(length)))
+                continue
+            datas = list(split_list_by_n(data, per_size, lg_size)) if per_size else [data]
+            for k, dat in enumerate(datas):
+                per_length = (
+                    int(np.ceil(len(dat) / sr * self.target_sample))
+                    if clip_seconds
+                    else length
+                )
+                pad_len = int(sr * pad_seconds)
+                dat = np.concatenate([np.zeros(pad_len), dat, np.zeros(pad_len)])
+                out_audio, _, _ = self.infer(
+                    spk,
+                    tran,
+                    dat.astype(np.float32),
+                    sr=sr,
+                    cluster_infer_ratio=cluster_infer_ratio,
+                    auto_predict_f0=auto_predict_f0,
+                    noice_scale=noice_scale,
+                    f0_predictor=f0_predictor,
+                    cr_threshold=cr_threshold,
+                    k_step=k_step,
+                    second_encoding=second_encoding,
+                    loudness_envelope_adjustment=loudness_envelope_adjustment,
+                )
+                out_pad = int(self.target_sample * pad_seconds)
+                _audio = np.asarray(out_audio)[out_pad:-out_pad]
+                _audio = pad_array(_audio, per_length)
+                if lg_size and k != 0:
+                    lg1 = (
+                        np.array(audio[-(lg_size_r + lg_size_c_r) : -lg_size_c_r])
+                        if lgr_num != 1
+                        else np.array(audio[-lg_size:])
+                    )
+                    lg2 = (
+                        _audio[lg_size_c_l : lg_size_c_l + lg_size_r]
+                        if lgr_num != 1
+                        else _audio[:lg_size]
+                    )
+                    lg_pre = lg1 * (1 - lg) + lg2 * lg
+                    audio = (
+                        audio[: -(lg_size_r + lg_size_c_r)]
+                        if lgr_num != 1
+                        else audio[:-lg_size]
+                    )
+                    audio.extend(lg_pre)
+                    _audio = (
+                        _audio[lg_size_c_l + lg_size_r :]
+                        if lgr_num != 1
+                        else _audio[lg_size:]
+                    )
+                audio.extend(list(_audio))
+        return np.array(audio, dtype=np.float32)
+
+
+class RealTimeVC:
+    """Streaming conversion with crossfaded chunks (infer_tool.py:498-546)."""
+
+    def __init__(self, chunk_len: int = 16000, pre_len: int = 3840):
+        self.last_chunk: np.ndarray | None = None
+        self.last_o: np.ndarray | None = None
+        self.chunk_len = chunk_len
+        self.pre_len = pre_len
+
+    def process(self, svc_model: Svc, speaker_id, f_pitch_change, audio: np.ndarray,
+                sr: int, **kwargs) -> np.ndarray:
+        if self.last_chunk is None:
+            out, _, _ = svc_model.infer(speaker_id, f_pitch_change, audio, sr=sr, **kwargs)
+            self.last_chunk = out[-self.pre_len :]
+            self.last_o = out
+            return out[-self.chunk_len :]
+        aud = np.concatenate([self.last_chunk, audio])
+        out, _, _ = svc_model.infer(speaker_id, f_pitch_change, aud, sr=sr, **kwargs)
+        ret = crossfade(self.last_o, out, self.pre_len)
+        self.last_chunk = out[-self.pre_len :]
+        self.last_o = out
+        return ret[self.chunk_len : 2 * self.chunk_len]

@@ -422,10 +422,17 @@ class Synthesizer(nn.Module):
         predict_f0: bool = False,
         vol: jax.Array | None = None,
         sample_noise: bool = True,
+        lengths: jax.Array | None = None,
     ):
-        """Inference (models.py:495-532). Returns (wav [B, T_samples, 1], f0)."""
+        """Inference (models.py:495-532). Returns (wav [B, T_samples, 1], f0).
+
+        ``lengths`` masks padded frames — inputs are bucketed/padded to fixed
+        lengths so the graph compiles once per bucket (XLA static shapes),
+        where the reference just re-runs dynamic shapes (infer_tool.py:297).
+        """
         g = self._speaker_embedding(spk)
-        lengths = jnp.full((c.shape[0],), c.shape[1])
+        if lengths is None:
+            lengths = jnp.full((c.shape[0],), c.shape[1])
         x_mask = sequence_mask(lengths, c.shape[1])[..., None].astype(c.dtype)
         x = self._prenet(c, uv, vol, x_mask)
 
