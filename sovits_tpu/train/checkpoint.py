@@ -33,9 +33,12 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state, extra: dict | None = None) -> None:
+        # fixed extra schema so restore templates always match
+        full_extra = {"epoch": 0, "learning_rate": 0.0}
+        full_extra.update(extra or {})
         payload = {
             "state": jax.tree.map(np.asarray, state_to_tree(state)),
-            "extra": extra or {},
+            "extra": full_extra,
         }
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()

@@ -1,0 +1,138 @@
+"""Inference orchestration tests: slicer, Svc facade end-to-end, RealTimeVC."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.tiny import make_synthetic_dataset, tiny_hps
+
+from sovits_tpu import config as scfg
+from sovits_tpu.infer import slicer as slicer_mod
+from sovits_tpu.infer.svc import Svc, crossfade, pad_array
+from sovits_tpu.models import factory
+from sovits_tpu.train import checkpoint as ckpt_lib
+from sovits_tpu.train.step import create_train_state, make_optimizer
+
+SR = 8000
+
+
+def _tone(freq, seconds, sr=SR, amp=0.3):
+    t = np.arange(int(seconds * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_slicer_finds_silence():
+    sil = np.zeros(SR, dtype=np.float32)
+    audio = np.concatenate([_tone(220, 6.0), sil, _tone(330, 6.0)])
+    # max_sil_kept shorter than the 1 s gap => the gap is emitted as a
+    # removable silence chunk (otherwise it's just a cut point, matching
+    # slicer.py:61-67 semantics).
+    chunks = slicer_mod.Slicer(sr=SR, threshold=-40, max_sil_kept=300).slice(audio)
+    segs = slicer_mod.chunks2audio(audio, chunks)
+    assert len(segs) >= 3
+    assert any(is_sil for is_sil, _ in segs)
+    assert sum(len(s) for _, s in segs) == len(audio)
+
+    # default params: the gap stays within max_sil_kept -> single cut point
+    chunks2 = slicer_mod.cut(audio, SR, db_thresh=-40)
+    segs2 = slicer_mod.chunks2audio(audio, chunks2)
+    assert sum(len(s) for _, s in segs2) == len(audio)
+    assert len(segs2) >= 2
+
+
+def test_slicer_short_audio_single_chunk():
+    audio = _tone(220, 0.3)
+    chunks = slicer_mod.cut(audio, SR)
+    assert len(chunks) == 1 and chunks["0"]["slice"] is False
+
+
+def test_pad_array_and_crossfade():
+    a = np.ones(100)
+    assert len(pad_array(a, 150)) == 150
+    assert len(pad_array(a, 60)) == 60
+    b = np.zeros(100)
+    out = crossfade(a, b, 20)
+    assert len(out) == 180
+    assert out[0] == 1 and out[-1] == 0
+
+
+class FakeEncoder:
+    name = "fake"
+    hidden_dim = 24
+
+    def encode(self, wav16k):
+        n_frames = max((len(wav16k) - 400) // 320 + 1, 1)
+        rng = np.random.default_rng(42)
+        return rng.standard_normal((n_frames, 24)).astype(np.float32) * 0.1
+
+
+@pytest.fixture(scope="module")
+def svc(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("svc")
+    hps = tiny_hps()
+    make_synthetic_dataset(tmp / "data", hps, n_per_spk=1)
+    scfg.save_config(hps, tmp / "config.json")
+
+    # save an untrained state as the model checkpoint (no training needed)
+    syn = factory.build_synthesizer(hps)
+    from sovits_tpu.models import MultiPeriodDiscriminator
+
+    g_params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16)
+    d_params = factory.init_discriminator_params(
+        MultiPeriodDiscriminator(), jax.random.PRNGKey(1), seg_samples=hps.train.segment_size
+    )
+    tx = make_optimizer(hps)
+    state = create_train_state(g_params, d_params, tx, tx)
+    mgr = ckpt_lib.CheckpointManager(tmp / "ckpt", keep=1)
+    mgr.save(0, state, extra={"epoch": 0})
+    mgr.close()
+
+    return Svc(str(tmp / "ckpt"), str(tmp / "config.json"), encoder=FakeEncoder())
+
+
+def test_svc_infer_single_clip(svc):
+    wav = _tone(220, 0.6)
+    audio, n_samples, n_frames = svc.infer(
+        "spk0", 0, wav, sr=SR, f0_predictor="yin", noice_scale=0.0
+    )
+    assert n_frames == len(wav) // svc.hop_size
+    assert n_samples == n_frames * svc.hop_size
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0  # tanh output
+
+
+def test_svc_infer_transpose_and_speaker_id(svc):
+    wav = _tone(220, 0.5)
+    audio, _, _ = svc.infer(1, 12, wav, sr=SR, f0_predictor="yin")
+    assert np.isfinite(audio).all()
+
+
+def test_svc_unknown_speaker_raises(svc):
+    with pytest.raises(RuntimeError):
+        svc.infer("nobody", 0, _tone(220, 0.5), sr=SR, f0_predictor="yin")
+
+
+def test_svc_slice_inference(svc):
+    audio_in = np.concatenate(
+        [_tone(220, 5.2), np.zeros(SR, dtype=np.float32), _tone(280, 5.2)]
+    )
+    out = svc.slice_inference(
+        audio_in, SR, "spk0", 0, slice_db=-40, f0_predictor="yin", noice_scale=0.0
+    )
+    assert np.isfinite(out).all()
+    # output length ~ input length (hop-quantized per chunk)
+    assert abs(len(out) - len(audio_in)) < 0.05 * len(audio_in)
+
+
+def test_svc_spk_mix_frames(svc):
+    wav = _tone(220, 0.4)
+    n_frames = len(wav) // svc.hop_size
+    mix = np.zeros((n_frames, svc.hps.model.n_speakers), np.float32)
+    mix[: n_frames // 2, 0] = 1.0
+    mix[n_frames // 2 :, 1] = 1.0
+    audio, _, _ = svc.infer(
+        None, 0, wav, sr=SR, f0_predictor="yin", spk_mix_frames=mix
+    )
+    assert np.isfinite(audio).all()
