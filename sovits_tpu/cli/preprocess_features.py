@@ -1,0 +1,144 @@
+"""Featurize the dataset: units, f0/uv, spectrogram, volume per wav.
+
+Equivalent of preprocess_hubert_f0.py:31-172. For each dataset wav writes:
+  <wav>.soft.npy  [H, T_units]  speech-encoder units (16 kHz input)
+  <wav>.f0.npy    (f0, uv)      chosen f0 predictor at hop frames
+  <wav>.spec.npy  [F, T]        linear magnitude spectrogram
+  <wav>.vol.npy   [T]           RMS volume track
+  (--use_diff adds <wav>.mel.npy and randomized aug mel/vol, the
+  vol-shift + keyshift augmentation of preprocess_hubert_f0.py:84-103)
+
+Device batching happens inside the jitted encoder; files are processed in a
+host loop (the reference uses a process pool per GPU; a single TPU chip
+prefers one process feeding large batches).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import config as scfg
+from ..dsp import stft as dsp_stft
+from ..dsp.audio import resample
+from ..f0 import get_f0_predictor
+from ..train.data import load_filelist, load_wav
+
+
+def process_one(
+    path: str, hps, encoder, f0_predictor, use_diff: bool = False, rng=None
+) -> None:
+    wav, sr = load_wav(path)
+    assert sr == hps.data.sampling_rate, (path, sr)
+    hop = hps.data.hop_length
+
+    soft_path = Path(path + ".soft.npy")
+    if not soft_path.exists():
+        wav16k = resample(wav, sr, 16000)
+        units = np.asarray(encoder.encode(wav16k))  # [T, H]
+        np.save(soft_path, units.T.astype(np.float32))  # store [H, T]
+
+    f0_path = Path(path + ".f0.npy")
+    if not f0_path.exists():
+        f0, uv = f0_predictor.compute_f0_uv(wav)
+        np.save(f0_path, np.array([f0, uv], dtype=object), allow_pickle=True)
+
+    spec_path = Path(path + ".spec.npy")
+    if not spec_path.exists():
+        spec = np.asarray(
+            dsp_stft.spectrogram(
+                jnp.asarray(wav[None]),
+                hps.data.filter_length,
+                hop,
+                hps.data.win_length,
+            )[0]
+        )
+        np.save(spec_path, spec.T.astype(np.float32))  # store [F, T]
+
+    vol_path = Path(path + ".vol.npy")
+    if not vol_path.exists():
+        vol = np.asarray(dsp_stft.energy(jnp.asarray(wav[None]), hop)[0])
+        np.save(vol_path, vol.astype(np.float32))
+
+    if use_diff:
+        mel_path = Path(path + ".mel.npy")
+        if not mel_path.exists():
+            mel = np.asarray(
+                dsp_stft.mel_spectrogram(
+                    jnp.asarray(wav[None]),
+                    n_fft=hps.data.filter_length,
+                    n_mels=hps.data.n_mel_channels,
+                    sample_rate=hps.data.sampling_rate,
+                    hop_length=hop,
+                    win_length=hps.data.win_length,
+                    fmin=hps.data.mel_fmin,
+                    fmax=hps.data.mel_fmax,
+                )[0]
+            )
+            np.save(mel_path, mel.astype(np.float32))
+        aug_path = Path(path + ".aug_mel.npy")
+        if not aug_path.exists() and rng is not None:
+            # vol shift + keyshift augmentation (preprocess_hubert_f0.py:84-103)
+            max_amp = float(np.abs(wav).max()) + 1e-5
+            max_shift = min(1.0, np.log10(1.0 / max_amp))
+            log10_vol_shift = rng.uniform(-1.0, max_shift)
+            keyshift = rng.uniform(-5, 5)
+            aug_wav = wav * (10.0**log10_vol_shift)
+            aug_mel = np.asarray(
+                dsp_stft.mel_spectrogram(
+                    jnp.asarray(aug_wav[None]),
+                    n_fft=hps.data.filter_length,
+                    n_mels=hps.data.n_mel_channels,
+                    sample_rate=hps.data.sampling_rate,
+                    hop_length=hop,
+                    win_length=hps.data.win_length,
+                    fmin=hps.data.mel_fmin,
+                    fmax=hps.data.mel_fmax,
+                )[0]
+            )
+            np.save(aug_path, np.array([aug_mel, keyshift], dtype=object), allow_pickle=True)
+            vol = np.load(vol_path)
+            np.save(path + ".aug_vol.npy", (vol * 10.0**log10_vol_shift).astype(np.float32))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", default="./configs/config.json")
+    parser.add_argument("--f0_predictor", default="dio")
+    parser.add_argument("--use_diff", action="store_true")
+    parser.add_argument("--encoder_checkpoint", default=None)
+    parser.add_argument("--filelists", nargs="*", default=None)
+    args = parser.parse_args(argv)
+
+    hps = scfg.load_config(args.config)
+    from ..encoders import get_speech_encoder
+
+    encoder = get_speech_encoder(
+        hps.model.speech_encoder or "vec768l12", args.encoder_checkpoint
+    )
+    f0p = get_f0_predictor(
+        args.f0_predictor,
+        hop_length=hps.data.hop_length,
+        sampling_rate=hps.data.sampling_rate,
+    )
+    filelists = args.filelists or [
+        hps.data.training_files,
+        hps.data.validation_files,
+    ]
+    rng = np.random.default_rng(0)
+    paths = []
+    for fl in filelists:
+        paths.extend(load_filelist(fl))
+    for i, p in enumerate(paths):
+        process_one(p, hps, encoder, f0p, args.use_diff, rng)
+        if (i + 1) % 20 == 0:
+            print(f"{i + 1}/{len(paths)}")
+    print(f"featurized {len(paths)} files")
+
+
+if __name__ == "__main__":
+    main()

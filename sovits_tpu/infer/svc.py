@@ -115,6 +115,15 @@ class Svc:
 
     def _load_params(self, path: str, init_params: dict) -> dict:
         p = Path(path)
+        if p.suffix == ".npz":
+            # compressed release model (cli/tools.py compress) — enc_q was
+            # stripped, shape-tolerant merge restores it from init
+            from ..cli.tools import unflatten_params
+
+            loaded = jax.tree.map(
+                lambda x: np.asarray(x, np.float32), unflatten_params(dict(np.load(p)))
+            )
+            return ckpt_lib.merge_pretrained(init_params, loaded)
         if p.suffix in (".pth", ".pt"):
             params, it = ckpt_lib.load_torch_generator(str(p), self.hps, init_params)
             logger.info("loaded torch checkpoint %s (iteration %s)", p, it)
