@@ -347,3 +347,40 @@ def synthesizer(
             "cond": conv1d(sd, prefix + "f0_decoder.cond."),
         }
     return out
+
+
+def diffusion_wavenet(sd: dict, prefix: str = "", n_layers: int = 20) -> dict:
+    """diffusion/wavenet.py WaveNet -> DiffusionWaveNet params."""
+    out = {
+        "input_projection": conv1d(sd, prefix + "input_projection."),
+        "mlp1": dense(sd, prefix + "mlp.0."),
+        "mlp2": dense(sd, prefix + "mlp.2."),
+        "skip_projection": conv1d(sd, prefix + "skip_projection."),
+        "output_projection": conv1d(sd, prefix + "output_projection."),
+    }
+    for i in range(n_layers):
+        p = prefix + f"residual_layers.{i}."
+        out[f"layer_{i}"] = {
+            "dilated_conv": conv1d(sd, p + "dilated_conv."),
+            "diffusion_projection": dense(sd, p + "diffusion_projection."),
+            "conditioner_projection": conv1d(sd, p + "conditioner_projection."),
+            "output_projection": conv1d(sd, p + "output_projection."),
+        }
+    return out
+
+
+def unit2mel(sd: dict, prefix: str = "", n_layers: int = 20) -> dict:
+    """diffusion/unit2mel.py Unit2Mel -> Unit2Mel params."""
+    out = {
+        "unit_embed": dense(sd, prefix + "unit_embed."),
+        "f0_embed": dense(sd, prefix + "f0_embed."),
+        "volume_embed": dense(sd, prefix + "volume_embed."),
+        "denoiser": diffusion_wavenet(sd, prefix + "decoder.denoise_fn.", n_layers),
+    }
+    if prefix + "spk_embed.weight" in sd:
+        out["spk_embed"] = embedding(sd, prefix + "spk_embed.")
+    if prefix + "aug_shift_embed.weight" in sd:
+        out["aug_shift_embed"] = {
+            "kernel": np.transpose(sd[prefix + "aug_shift_embed.weight"], (1, 0))
+        }
+    return out

@@ -31,6 +31,8 @@ def setup_reference_imports():
     _stub("librosa.filters", mel=None)
     _stub("faiss")
     _stub("soundfile")
+    _stub("torchaudio", transforms=None)
+    _stub("torchaudio.transforms", Resample=object)
 
 
 def state_dict_numpy(module):
