@@ -215,4 +215,5 @@ def synthesizer_kwargs(hps: HParams) -> dict:
         n_layers_trans_flow=m.n_layers_trans_flow,
         use_transformer_flow=bool(m.use_transformer_flow),
         n_layers_q=m.get("n_layers_posterior", 16),
+        vocoder_name=m.vocoder_name or "nsf-hifigan",
     )

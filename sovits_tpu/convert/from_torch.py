@@ -384,3 +384,54 @@ def unit2mel(sd: dict, prefix: str = "", n_layers: int = 20) -> dict:
             "kernel": np.transpose(sd[prefix + "aug_shift_embed.weight"], (1, 0))
         }
     return out
+
+
+def _snake_act(sd: dict, prefix: str) -> dict:
+    return {"act": {"alpha": sd[prefix + "act.alpha"], "beta": sd[prefix + "act.beta"]}}
+
+
+def snake_resblock(sd: dict, prefix: str = "", n: int = 3, two_stage: bool = True) -> dict:
+    """hifiganwithsnake ResBlock1/2 (models.py:36-110) -> SnakeResBlock params."""
+    out = {}
+    if two_stage:
+        for j in range(n):
+            out[f"conv1_{j}"] = conv1d_maybe_wn(sd, prefix + f"convs1.{j}.")
+            out[f"conv2_{j}"] = conv1d_maybe_wn(sd, prefix + f"convs2.{j}.")
+            out[f"act1_{j}"] = _snake_act(sd, prefix + f"activations.{2 * j}.")
+            out[f"act2_{j}"] = _snake_act(sd, prefix + f"activations.{2 * j + 1}.")
+    else:
+        for j in range(n):
+            out[f"conv_{j}"] = conv1d_maybe_wn(sd, prefix + f"convs.{j}.")
+            out[f"act_{j}"] = _snake_act(sd, prefix + f"activations.{j}.")
+    return out
+
+
+def snake_hifigan_generator(
+    sd: dict,
+    prefix: str = "",
+    n_upsamples: int = 5,
+    n_kernels: int = 3,
+    resblock_type: str = "1",
+    n_dilations: int = 3,
+) -> dict:
+    """hifiganwithsnake Generator (models.py:338-416) -> SnakeGenerator params."""
+    out = {
+        "conv_pre": conv1d_wn(sd, prefix + "conv_pre."),
+        "conv_post": conv1d_wn(sd, prefix + "conv_post."),
+        "m_source": {"merge": dense(sd, prefix + "m_source.l_linear.")},
+        "snake_post": _snake_act(sd, prefix + "snake_post."),
+    }
+    if any(k.startswith(prefix + "cond.") for k in sd):
+        out["cond"] = conv1d(sd, prefix + "cond.")
+    for i in range(n_upsamples):
+        out[f"up_{i}"] = conv_transpose1d_wn(sd, prefix + f"ups.{i}.")
+        out[f"noise_conv_{i}"] = conv1d(sd, prefix + f"noise_convs.{i}.")
+        out[f"snake_{i}"] = _snake_act(sd, prefix + f"snakes.{i}.")
+        for j in range(n_kernels):
+            out[f"resblock_{i}_{j}"] = snake_resblock(
+                sd,
+                prefix + f"resblocks.{i * n_kernels + j}.",
+                n=n_dilations if resblock_type == "1" else 2,
+                two_stage=resblock_type == "1",
+            )
+    return out

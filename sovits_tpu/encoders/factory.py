@@ -86,10 +86,24 @@ def get_speech_encoder(name: str, checkpoint_path: str | None = None, **_):
             "onnx encoder variants are not supported; use the JAX-native "
             f"equivalent '{name.removesuffix('-onnx')}'"
         )
+    if name.startswith("whisper-ppg"):
+        from .whisper import load_whisper_encoder
+
+        defaults = {
+            "whisper-ppg": "pretrain/medium.pt",
+            "whisper-ppg-large": "pretrain/large-v2.pt",
+        }
+        checkpoint_path = checkpoint_path or defaults.get(name, "pretrain/medium.pt")
+        if not Path(checkpoint_path).exists():
+            raise FileNotFoundError(
+                f"whisper checkpoint not found: {checkpoint_path}"
+            )
+        return load_whisper_encoder(name, checkpoint_path)
     if name not in CONFIGS:
         raise ValueError(
-            f"unknown speech encoder '{name}' (available: {sorted(CONFIGS)}; "
-            "whisper-ppg/wavlm/dphubert ports are planned)"
+            f"unknown speech encoder '{name}' (available: "
+            f"{sorted(CONFIGS) + ['whisper-ppg', 'whisper-ppg-large']}; "
+            "wavlm/dphubert ports are planned)"
         )
     config, pad, fmt = CONFIGS[name]
 

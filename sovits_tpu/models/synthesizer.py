@@ -241,6 +241,7 @@ class Synthesizer(nn.Module):
     n_layers_trans_flow: int = 3
     use_transformer_flow: bool = False
     n_layers_q: int = 16  # posterior WN depth (reference hardcodes 16, models.py:437)
+    vocoder_name: str = "nsf-hifigan"  # or "nsf-snake-hifigan" (models.py:426-435)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -327,7 +328,13 @@ class Synthesizer(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )
-        self.dec = Generator(
+        dec_cls = Generator
+        if self.vocoder_name == "nsf-snake-hifigan":
+            from .snake_hifigan import SnakeGenerator
+
+            dec_cls = SnakeGenerator
+        dec_extra = {} if dec_cls is not Generator else {"separable": self.use_depthwise_conv}
+        self.dec = dec_cls(
             sampling_rate=self.sampling_rate,
             inter_channels=self.inter_channels,
             resblock=self.resblock,
@@ -337,9 +344,8 @@ class Synthesizer(nn.Module):
             upsample_initial_channel=self.upsample_initial_channel,
             upsample_kernel_sizes=tuple(self.upsample_kernel_sizes),
             gin_channels=self.gin_channels,
-            separable=self.use_depthwise_conv,
             dtype=self.dtype,
-            param_dtype=self.param_dtype,
+            **dec_extra,
         )
 
     def _speaker_embedding(self, spk: jax.Array) -> jax.Array:

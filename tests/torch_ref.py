@@ -15,7 +15,10 @@ REFERENCE_PATH = "/root/reference"
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -33,6 +36,7 @@ def setup_reference_imports():
     _stub("soundfile")
     _stub("torchaudio", transforms=None)
     _stub("torchaudio.transforms", Resample=object)
+    _stub("ffmpeg")
 
 
 def state_dict_numpy(module):
