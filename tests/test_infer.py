@@ -58,38 +58,7 @@ def test_pad_array_and_crossfade():
     assert out[0] == 1 and out[-1] == 0
 
 
-class FakeEncoder:
-    name = "fake"
-    hidden_dim = 24
-
-    def encode(self, wav16k):
-        n_frames = max((len(wav16k) - 400) // 320 + 1, 1)
-        rng = np.random.default_rng(42)
-        return rng.standard_normal((n_frames, 24)).astype(np.float32) * 0.1
-
-
-@pytest.fixture(scope="module")
-def svc(tmp_path_factory):
-    tmp = tmp_path_factory.mktemp("svc")
-    hps = tiny_hps()
-    make_synthetic_dataset(tmp / "data", hps, n_per_spk=1)
-    scfg.save_config(hps, tmp / "config.json")
-
-    # save an untrained state as the model checkpoint (no training needed)
-    syn = factory.build_synthesizer(hps)
-    from sovits_tpu.models import MultiPeriodDiscriminator
-
-    g_params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16)
-    d_params = factory.init_discriminator_params(
-        MultiPeriodDiscriminator(), jax.random.PRNGKey(1), seg_samples=hps.train.segment_size
-    )
-    tx = make_optimizer(hps)
-    state = create_train_state(g_params, d_params, tx, tx)
-    mgr = ckpt_lib.CheckpointManager(tmp / "ckpt", keep=1)
-    mgr.save(0, state, extra={"epoch": 0})
-    mgr.close()
-
-    return Svc(str(tmp / "ckpt"), str(tmp / "config.json"), encoder=FakeEncoder())
+from tests.conftest import FakeEncoder  # shared with serving tests
 
 
 def test_svc_infer_single_clip(svc):
