@@ -44,6 +44,14 @@ def mel_to_hz(mels: np.ndarray) -> np.ndarray:
     return freqs
 
 
+def hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asanyarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asanyarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
 @functools.lru_cache(maxsize=None)
 def mel_filterbank(
     sample_rate: int,
@@ -52,12 +60,15 @@ def mel_filterbank(
     fmin: float = 0.0,
     fmax: float | None = None,
     dtype=np.float32,
+    htk: bool = False,
 ) -> np.ndarray:
     """Triangular mel filterbank, shape [n_freqs, n_mels] (channels-last).
 
     Note the transposed layout vs librosa ([n_mels, n_freqs]): in this
     framework spectrograms are [B, T, F], so mel projection is a plain
-    ``spec @ fbank`` matmul that lands on the MXU.
+    ``spec @ fbank`` matmul that lands on the MXU. htk=True switches to the
+    HTK mel scale (used by RMVPE's front-end); area norm stays Slaney
+    (librosa's default norm).
     """
     if fmax is None:
         fmax = float(sample_rate) / 2.0
@@ -65,7 +76,12 @@ def mel_filterbank(
     n_freqs = 1 + n_fft // 2
     fftfreqs = np.linspace(0.0, float(sample_rate) / 2.0, n_freqs, dtype=np.float64)
 
-    mel_edges = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    if htk:
+        mel_edges = mel_to_hz_htk(
+            np.linspace(hz_to_mel_htk(fmin), hz_to_mel_htk(fmax), n_mels + 2)
+        )
+    else:
+        mel_edges = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
 
     fdiff = np.diff(mel_edges)
     ramps = mel_edges[:, None] - fftfreqs[None, :]  # [n_mels+2, n_freqs]

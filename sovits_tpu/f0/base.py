@@ -57,11 +57,21 @@ def get_f0_predictor(name: str, hop_length: int, sampling_rate: int, **kwargs) -
         "pm": ParselmouthF0Predictor,
         "yin": YinF0Predictor,
     }
-    if name in ("crepe", "rmvpe", "fcpe"):
+    if name == "crepe":
         from .crepe import CrepeF0Predictor
 
         return CrepeF0Predictor(
-            hop_length=hop_length, sampling_rate=sampling_rate, variant=name, **kwargs
+            hop_length=hop_length, sampling_rate=sampling_rate, **kwargs
+        )
+    if name == "rmvpe":
+        from .rmvpe import RmvpeF0Predictor
+
+        return RmvpeF0Predictor(
+            hop_length=hop_length, sampling_rate=sampling_rate, **kwargs
+        )
+    if name == "fcpe":
+        raise NotImplementedError(
+            "the FCPE (PCmer) port has not landed yet; use rmvpe/crepe/dio"
         )
     if name not in registry:
         raise ValueError(f"unknown f0 predictor: {name}")

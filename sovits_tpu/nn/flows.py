@@ -300,3 +300,31 @@ class TransformerCouplingBlock(nn.Module):
                 x = flip_channels(x)
                 x = layer(x, x_mask, g=g, reverse=True, deterministic=deterministic)
         return x
+
+
+class Log(nn.Module):
+    """Log flow (modules/modules.py:221-229). Utility layer kept for parity."""
+
+    @nn.compact
+    def __call__(self, x, x_mask, reverse: bool = False, **kwargs):
+        if not reverse:
+            y = jnp.log(jnp.clip(x, min=1e-5)) * x_mask
+            logdet = jnp.sum(-y, axis=(1, 2))
+            return y, logdet
+        return jnp.exp(x) * x_mask
+
+
+class ElementwiseAffine(nn.Module):
+    """Per-channel affine flow (modules/modules.py:242-257)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, x_mask, reverse: bool = False, **kwargs):
+        m = self.param("m", nn.initializers.zeros, (self.channels,))
+        logs = self.param("logs", nn.initializers.zeros, (self.channels,))
+        if not reverse:
+            y = (m + jnp.exp(logs) * x) * x_mask
+            logdet = jnp.sum(logs[None, None, :] * x_mask, axis=(1, 2))
+            return y, logdet
+        return (x - m) * jnp.exp(-logs) * x_mask
