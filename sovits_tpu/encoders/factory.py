@@ -86,6 +86,13 @@ def get_speech_encoder(name: str, checkpoint_path: str | None = None, **_):
             "onnx encoder variants are not supported; use the JAX-native "
             f"equivalent '{name.removesuffix('-onnx')}'"
         )
+    if name == "wavlmbase+":
+        from .wavlm import load_wavlm_encoder
+
+        checkpoint_path = checkpoint_path or "pretrain/WavLM-Base+.pt"
+        if not Path(checkpoint_path).exists():
+            raise FileNotFoundError(f"WavLM checkpoint not found: {checkpoint_path}")
+        return load_wavlm_encoder(checkpoint_path)
     if name.startswith("whisper-ppg"):
         from .whisper import load_whisper_encoder
 
@@ -102,8 +109,8 @@ def get_speech_encoder(name: str, checkpoint_path: str | None = None, **_):
     if name not in CONFIGS:
         raise ValueError(
             f"unknown speech encoder '{name}' (available: "
-            f"{sorted(CONFIGS) + ['whisper-ppg', 'whisper-ppg-large']}; "
-            "wavlm/dphubert ports are planned)"
+            f"{sorted(CONFIGS) + ['whisper-ppg', 'whisper-ppg-large', 'wavlmbase+']}; "
+            "the dphubert port is planned)"
         )
     config, pad, fmt = CONFIGS[name]
 

@@ -70,8 +70,10 @@ def get_f0_predictor(name: str, hop_length: int, sampling_rate: int, **kwargs) -
             hop_length=hop_length, sampling_rate=sampling_rate, **kwargs
         )
     if name == "fcpe":
-        raise NotImplementedError(
-            "the FCPE (PCmer) port has not landed yet; use rmvpe/crepe/dio"
+        from .fcpe import FcpeF0Predictor
+
+        return FcpeF0Predictor(
+            hop_length=hop_length, sampling_rate=sampling_rate, **kwargs
         )
     if name not in registry:
         raise ValueError(f"unknown f0 predictor: {name}")

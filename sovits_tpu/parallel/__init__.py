@@ -7,3 +7,4 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .sharding import param_spec, shard_params

@@ -38,6 +38,12 @@ def setup_reference_imports():
     _stub("torchaudio.transforms", Resample=object)
     _stub("ffmpeg")
 
+    class _FakeLocalAttention:
+        def __init__(self, *a, **k):
+            raise RuntimeError("LocalAttention unused at default FCPE config")
+
+    _stub("local_attention", LocalAttention=_FakeLocalAttention)
+
 
 def state_dict_numpy(module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
