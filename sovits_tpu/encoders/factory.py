@@ -86,6 +86,13 @@ def get_speech_encoder(name: str, checkpoint_path: str | None = None, **_):
             "onnx encoder variants are not supported; use the JAX-native "
             f"equivalent '{name.removesuffix('-onnx')}'"
         )
+    if name == "dphubert":
+        from .dphubert import load_dphubert_encoder
+
+        checkpoint_path = checkpoint_path or "pretrain/DPHuBERT-sp0.75.pth"
+        if not Path(checkpoint_path).exists():
+            raise FileNotFoundError(f"DPHuBERT checkpoint not found: {checkpoint_path}")
+        return load_dphubert_encoder(checkpoint_path)
     if name == "wavlmbase+":
         from .wavlm import load_wavlm_encoder
 
@@ -109,8 +116,7 @@ def get_speech_encoder(name: str, checkpoint_path: str | None = None, **_):
     if name not in CONFIGS:
         raise ValueError(
             f"unknown speech encoder '{name}' (available: "
-            f"{sorted(CONFIGS) + ['whisper-ppg', 'whisper-ppg-large', 'wavlmbase+']}; "
-            "the dphubert port is planned)"
+            f"{sorted(CONFIGS) + ['whisper-ppg', 'whisper-ppg-large', 'wavlmbase+', 'dphubert']})"
         )
     config, pad, fmt = CONFIGS[name]
 

@@ -54,6 +54,9 @@ def init_synthesizer_params(
 ) -> dict:
     d = hps.data
     m = hps.model
+    # the training forward random-slices segment_size//hop latent frames, so
+    # the init trace needs at least that many
+    t_frames = max(t_frames, hps.train.segment_size // d.hop_length)
     dummy = dict(
         c=jnp.zeros((batch, t_frames, m.ssl_dim)),
         f0=jnp.full((batch, t_frames), 220.0),
