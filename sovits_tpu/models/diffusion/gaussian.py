@@ -8,8 +8,9 @@ multistep order-2 'dpmsolver' updates, time_uniform) re-derived for XLA:
   (alpha/sigma/lambda at the continuous sampling times) are precomputed, so
   each sampler is a single lax.scan whose body is one denoiser eval plus a
   few scalar FMAs — no python in the loop, jits once per (k_step, speedup),
-- samplers: ddpm (full chain), ddim, pndm/plms, dpm-solver++ (2M); unipc is
-  dispatched to dpm-solver++ pending its port (same family/order).
+- samplers: ddpm (full chain), ddim, pndm/plms, dpm-solver++ (2M), and
+  UniPC (bh2, order 2, predictor-corrector) — all parity-tested against the
+  reference including its vendored solver libraries.
 
 Spec normalization: norm = (x - min)/(max - min)*2 - 1 (diffusion.py:392-396).
 """
@@ -263,6 +264,78 @@ class DiffusionSchedule:
         x = second_update(x, m0, m1, steps)
         return x
 
+    def sample_unipc_bh2(self, denoise_fn, x, t_start: int, steps: int, cond) -> jax.Array:
+        """Multistep UniPC (variant bh2, order 2, data prediction).
+
+        Matches UniPC.sample(..., order=2, skip_type='time_uniform',
+        method='multistep') over NoiseScheduleVP('discrete', betas[:t])
+        (diffusion/uni_pc.py:473-592): order-2 predictor with rho=1/2 plus a
+        B(h) corrector; last step drops to order 1 without corrector.
+        """
+        tbl = self.solver_times(t_start, steps)
+        alpha = jnp.asarray(tbl["alpha"])
+        sigma = jnp.asarray(tbl["sigma"])
+        lam = jnp.asarray(tbl["lambda"])
+        t_input = jnp.asarray(tbl["t_input"])
+        b_sz = x.shape[0]
+
+        def x0_fn(x, idx):
+            eps = denoise_fn(x, jnp.full((b_sz,), t_input[idx], jnp.float32), cond)
+            return (x - sigma[idx] * eps) / alpha[idx]
+
+        def coeffs(i):
+            """Per-step (h_phi_1, B_h, b1, b2) with hh = -h (predict_x0)."""
+            hh = -(lam[i] - lam[i - 1])
+            h_phi_1 = jnp.expm1(hh)
+            b_h = jnp.expm1(hh)  # bh2
+            h_phi_k1 = h_phi_1 / hh - 1.0
+            b1 = h_phi_k1 / b_h
+            h_phi_k2 = h_phi_k1 / hh - 0.5
+            b2 = h_phi_k2 * 2.0 / b_h
+            return h_phi_1, b_h, b1, b2
+
+        def base(x, m_prev, i, h_phi_1):
+            return sigma[i] / sigma[i - 1] * x - alpha[i] * h_phi_1 * m_prev
+
+        # step 0: model at t_T
+        m0 = x0_fn(x, 0)
+        # step 1: order-1 with corrector (uni_pc.py order==1 path)
+        h_phi_1, b_h, b1, _ = coeffs(1)
+        x_t_ = base(x, m0, 1, h_phi_1)
+        m_t = x0_fn(x_t_, 1)
+        x = x_t_ - alpha[1] * b_h * 0.5 * (m_t - m0)
+        m1, m0 = m0, m_t  # m0 = latest (at grid 1), m1 = at grid 0
+
+        def order2_update(x, m0, m1, i, use_corrector: bool):
+            h = lam[i] - lam[i - 1]
+            rk = (lam[i - 2] - lam[i - 1]) / h
+            d1 = (m1 - m0) / rk
+            h_phi_1, b_h, b1, b2 = coeffs(i)
+            x_t_ = base(x, m0, i, h_phi_1)
+            x_pred = x_t_ - alpha[i] * b_h * 0.5 * d1
+            if not use_corrector:
+                return x_pred, None
+            m_t = x0_fn(x_pred, i)
+            # rhos_c = solve([[1, 1], [rk, 1]], [b1, b2])
+            rho2 = (b2 - rk * b1) / (1.0 - rk)
+            rho1 = b1 - rho2
+            x_t = x_t_ - alpha[i] * b_h * (rho1 * d1 + rho2 * (m_t - m0))
+            return x_t, m_t
+
+        if steps >= 3:
+            def body(carry, i):
+                x, m0, m1 = carry
+                x, m_t = order2_update(x, m0, m1, i, use_corrector=True)
+                return (x, m_t, m0), None
+
+            (x, m0, m1), _ = jax.lax.scan(
+                body, (x, m0, m1), jnp.arange(2, steps, dtype=jnp.int32)
+            )
+        # final step: order 1, no corrector (uni_pc.py:592+ last-step rule)
+        h_phi_1, _, _, _ = coeffs(steps)
+        x = base(x, m0, steps, h_phi_1)
+        return x
+
     # -- top-level dispatch --------------------------------------------------
     def sample(
         self,
@@ -288,10 +361,10 @@ class DiffusionSchedule:
 
         if method is None or speedup <= 1:
             x = self.sample_ddpm(denoise_fn, x, t_start, cond, jax.random.fold_in(rng, 1))
-        elif method in ("dpm-solver", "dpm-solver++", "unipc"):
-            # unipc shares the multistep order-2 family; dispatched here
-            # until the UniPC bh2 port lands.
+        elif method in ("dpm-solver", "dpm-solver++"):
             x = self.sample_dpmpp_2m(denoise_fn, x, t_start, t_start // speedup, cond)
+        elif method == "unipc":
+            x = self.sample_unipc_bh2(denoise_fn, x, t_start, t_start // speedup, cond)
         elif method == "pndm":
             x = self.sample_plms(denoise_fn, x, t_start, speedup, cond)
         elif method == "ddim":

@@ -306,3 +306,43 @@ def test_unit2mel_converter_matches_reference_conditioning():
         method=Unit2Mel.condition,
     )
     np.testing.assert_allclose(np.asarray(got), x161.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _ref_unipc(gd, x_t, cond, k_step, steps):
+    from diffusion.uni_pc import NoiseScheduleVP, UniPC, model_wrapper
+
+    ns = NoiseScheduleVP(schedule="discrete", betas=gd.betas[:k_step])
+    cond_t = torch.from_numpy(cond.transpose(0, 2, 1))
+    model_fn = model_wrapper(
+        gd.denoise_fn, ns, model_type="noise", model_kwargs={"cond": cond_t}
+    )
+    solver = UniPC(model_fn, ns, variant="bh2")
+    with torch.no_grad():
+        x = solver.sample(x_t, steps=steps, order=2, skip_type="time_uniform", method="multistep")
+    return gd.denorm_spec(x.squeeze(1).transpose(1, 2)).numpy()
+
+
+def _run_unipc_case(k_step, speedup):
+    ref_net, mine, params = _ref_pair()
+    gd = _ref_gaussian(ref_net)
+    sched = DiffusionSchedule(timesteps=TSTEPS, k_step=TSTEPS)
+    spec, cond, _ = _inputs()
+    x_t, x_j = _x_init(gd, sched, spec, k_step)
+    steps = k_step // speedup
+    ref = _ref_unipc(gd, x_t, cond, k_step, steps)
+
+    def denoise_fn(xx, tt, cc):
+        return mine.apply(params, xx, tt, cc)
+
+    got = sched.denorm_spec(
+        sched.sample_unipc_bh2(denoise_fn, x_j, k_step, steps, jnp.asarray(cond))
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=5e-4)
+
+
+def test_unipc_bh2_few_steps_matches_reference():
+    _run_unipc_case(k_step=20, speedup=4)  # 5 steps
+
+
+def test_unipc_bh2_many_steps_matches_reference():
+    _run_unipc_case(k_step=40, speedup=2)  # 20 steps
