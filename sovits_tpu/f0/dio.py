@@ -141,8 +141,14 @@ class DioF0Predictor(F0Predictor):
 
         For each voiced frame, refine the period as the parabolic-interpolated
         peak of the normalized autocorrelation around the current period
-        estimate, over a window of ~3 periods.
+        estimate, over a window of ~3 periods. Uses the native C++ kernel
+        (sovits_tpu/native) when built; this numpy loop is the fallback and
+        the parity reference.
         """
+        from .. import native
+
+        if native.dio_refine_available():
+            return native.dio_refine_f0(x, fs, f0, frame_t)
         out = f0.copy()
         n = len(x)
         for i, (t, f) in enumerate(zip(frame_t, f0)):

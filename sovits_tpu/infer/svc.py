@@ -90,13 +90,9 @@ class Svc:
         self._infer_jit = {}
         self.f0_predictor_object = None
 
-        if encoder is None:
-            from ..encoders import get_speech_encoder
-
-            encoder = get_speech_encoder(
-                self.hps.model.speech_encoder or "vec768l12"
-            )
-        self.encoder = encoder
+        # encoder loads lazily: export/offline paths don't need it
+        self._encoder = encoder
+        self._encoder_name = self.hps.model.speech_encoder or "vec768l12"
 
         self.cluster = None
         self.feature_retrieval = feature_retrieval
@@ -112,6 +108,14 @@ class Svc:
             self.diffusion = DiffusionRefiner(
                 diffusion_model_path, diffusion_config_path
             )
+
+    @property
+    def encoder(self):
+        if self._encoder is None:
+            from ..encoders import get_speech_encoder
+
+            self._encoder = get_speech_encoder(self._encoder_name)
+        return self._encoder
 
     def _load_params(self, path: str, init_params: dict) -> dict:
         p = Path(path)

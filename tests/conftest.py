@@ -44,4 +44,6 @@ def svc(tmp_path_factory):
     mgr.save(0, state, extra={"epoch": 0})
     mgr.close()
 
-    return Svc(str(tmp / "ckpt"), str(tmp / "config.json"), encoder=FakeEncoder())
+    svc_obj = Svc(str(tmp / "ckpt"), str(tmp / "config.json"), encoder=FakeEncoder())
+    svc_obj._test_paths = (str(tmp / "ckpt"), str(tmp / "config.json"))
+    return svc_obj
