@@ -78,6 +78,10 @@ def main(argv=None):
         wav, sr = load_wav(name)
         for tran in args.trans:
             for spk in args.spk_list:
+                if args.use_spk_mix:
+                    from ..infer.spkmix import EXAMPLE_SPK_MIX_MAP
+
+                    spk = EXAMPLE_SPK_MIX_MAP  # edit infer/spkmix.py's map
                 audio = svc.slice_inference(
                     wav.astype(np.float32),
                     sr,
@@ -96,6 +100,7 @@ def main(argv=None):
                     k_step=args.k_step,
                     second_encoding=args.second_encoding,
                     loudness_envelope_adjustment=args.loudness_envelope_adjustment,
+                    use_spk_mix=args.use_spk_mix,
                 )
                 key = "auto" if args.auto_predict_f0 else f"{tran}key"
                 out = out_dir / (

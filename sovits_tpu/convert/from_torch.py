@@ -229,6 +229,12 @@ def resblock(sd: dict, prefix: str = "", n: int = 3, two_stage: bool = True) -> 
     return out
 
 
+def _source_module(sd: dict, prefix: str) -> dict:
+    """SourceModuleHnNSF.l_linear -> fused merge params."""
+    d = dense(sd, prefix + "l_linear.")
+    return {"merge_kernel": d["kernel"], "merge_bias": d["bias"]}
+
+
 def nsf_hifigan_generator(
     sd: dict,
     prefix: str = "",
@@ -241,7 +247,7 @@ def nsf_hifigan_generator(
     out = {
         "conv_pre": conv1d_wn(sd, prefix + "conv_pre."),
         "conv_post": conv1d_wn(sd, prefix + "conv_post."),
-        "m_source": {"merge": dense(sd, prefix + "m_source.l_linear.")},
+        "m_source": _source_module(sd, prefix + "m_source."),
     }
     if any(k.startswith(prefix + "cond.") for k in sd):
         out["cond"] = conv1d(sd, prefix + "cond.")
@@ -418,7 +424,7 @@ def snake_hifigan_generator(
     out = {
         "conv_pre": conv1d_wn(sd, prefix + "conv_pre."),
         "conv_post": conv1d_wn(sd, prefix + "conv_post."),
-        "m_source": {"merge": dense(sd, prefix + "m_source.l_linear.")},
+        "m_source": _source_module(sd, prefix + "m_source."),
         "snake_post": _snake_act(sd, prefix + "snake_post."),
     }
     if any(k.startswith(prefix + "cond.") for k in sd):

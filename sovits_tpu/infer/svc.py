@@ -302,11 +302,31 @@ class Svc:
         k_step: int = 100,
         second_encoding: bool = False,
         loudness_envelope_adjustment: float = 1.0,
+        use_spk_mix: bool = False,
     ) -> np.ndarray:
-        """Silence-sliced full-clip conversion (infer_tool.py:356-496)."""
+        """Silence-sliced full-clip conversion (infer_tool.py:356-496).
+
+        With use_spk_mix, ``spk`` is a spk_mix_map timeline
+        ({speaker_id: [[begin, end, v0, v1], ...]}); per-frame weights are
+        built over the whole output and sliced per chunk (the reference's
+        global_frame accounting, infer_tool.py:390-454).
+        """
         chunks = slicer_mod.cut(raw_audio, sr, db_thresh=slice_db)
         audio_data = slicer_mod.chunks2audio(raw_audio, chunks)
         per_size = int(clip_seconds * sr)
+
+        mix_weights = None
+        if use_spk_mix:
+            from .spkmix import build_spk_mix_frames
+
+            total_frames = sum(
+                int(np.ceil(len(d) / sr * self.target_sample)) // self.hop_size
+                + (0 if tag else 2 * int(self.target_sample * pad_seconds) // self.hop_size)
+                for tag, d in audio_data
+            )
+            mix_weights = build_spk_mix_frames(
+                spk, total_frames, self.hps.model.n_speakers
+            )
         lg_size = int(lg_num * sr)
         lg_size_r = int(lg_size * lgr_num)
         lg_size_c_l = (lg_size - lg_size_r) // 2
@@ -314,10 +334,12 @@ class Svc:
         lg = np.linspace(0, 1, lg_size_r) if lg_size else None
 
         audio: list[float] = []
+        global_frame = 0
         for slice_tag, data in audio_data:
             length = int(np.ceil(len(data) / sr * self.target_sample))
             if slice_tag:
                 audio.extend(list(np.zeros(length)))
+                global_frame += length // self.hop_size
                 continue
             datas = list(split_list_by_n(data, per_size, lg_size)) if per_size else [data]
             for k, dat in enumerate(datas):
@@ -328,8 +350,16 @@ class Svc:
                 )
                 pad_len = int(sr * pad_seconds)
                 dat = np.concatenate([np.zeros(pad_len), dat, np.zeros(pad_len)])
-                out_audio, _, _ = self.infer(
-                    spk,
+                chunk_mix = None
+                if mix_weights is not None:
+                    n_chunk = int(np.ceil(len(dat) / sr * self.target_sample)) // self.hop_size
+                    idx = np.minimum(
+                        np.arange(global_frame, global_frame + n_chunk),
+                        len(mix_weights) - 1,
+                    )
+                    chunk_mix = mix_weights[idx]
+                out_audio, _, out_frames = self.infer(
+                    None if mix_weights is not None else spk,
                     tran,
                     dat.astype(np.float32),
                     sr=sr,
@@ -341,7 +371,9 @@ class Svc:
                     k_step=k_step,
                     second_encoding=second_encoding,
                     loudness_envelope_adjustment=loudness_envelope_adjustment,
+                    spk_mix_frames=chunk_mix,
                 )
+                global_frame += out_frames
                 out_pad = int(self.target_sample * pad_seconds)
                 _audio = np.asarray(out_audio)[out_pad:-out_pad]
                 _audio = pad_array(_audio, per_length)

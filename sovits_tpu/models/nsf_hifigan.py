@@ -92,7 +92,11 @@ def sine_source(
 class SourceModuleHnNSF(nn.Module):
     """Merge harmonics into one excitation channel via linear+tanh.
 
-    vdecoder/hifigan/models.py:274-320.
+    vdecoder/hifigan/models.py:274-320. TPU note: phases are computed in a
+    [B, H, T_f, upp] layout (lane dim = upp, not the 9 harmonics — a
+    [..., 9] layout wastes 93% of the VPU's 128 lanes and dominated infer
+    time), and the 9->1 harmonic merge happens in that layout before
+    reshaping to sample rate. Same math as sine_source + Dense.
     """
 
     sample_rate: int
@@ -107,27 +111,55 @@ class SourceModuleHnNSF(nn.Module):
     def __call__(
         self, f0_frames: jax.Array, upp: int, rng: jax.Array | None = None
     ) -> tuple[jax.Array, jax.Array]:
-        sines, uv = sine_source(
-            f0_frames,
-            upp,
-            self.sample_rate,
-            self.harmonic_num,
-            self.sine_amp,
-            self.add_noise_std,
-            self.voiced_threshold,
-            rng,
+        h = self.harmonic_num + 1
+        b, t_f = f0_frames.shape
+        # torch nn.Linear default init; kernel [H, 1] as in the Dense variant.
+        kernel = self.param(
+            "merge_kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (h, 1),
+            self.param_dtype,
         )
-        # torch nn.Linear default init.
-        fan_in = self.harmonic_num + 1
-        merged = nn.Dense(
-            1,
-            kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="merge",
-        )(sines.astype(self.dtype))
-        del fan_in
-        har_source = jnp.tanh(merged)  # [B, T, 1]
+        bias = self.param("merge_bias", nn.initializers.zeros, (1,), self.param_dtype)
+
+        harmonics = jnp.arange(1, h + 1, dtype=jnp.float32)
+        f0 = f0_frames.astype(jnp.float32)[:, None, :]  # [B, 1, T_f]
+        rad = (f0 * harmonics[None, :, None] / self.sample_rate) % 1.0  # [B, H, T_f]
+        frame_adv = (rad * upp) % 1.0
+        base = jnp.cumsum(frame_adv, axis=-1) - frame_adv  # exclusive
+
+        if rng is not None:
+            rng_phase, rng_noise = jax.random.split(rng)
+            rand_ini = jax.random.uniform(rng_phase, (b, h, 1, 1))
+            rand_ini = rand_ini.at[:, 0].set(0.0)
+        else:
+            rng_noise = None
+            rand_ini = jnp.zeros((b, h, 1, 1))
+
+        offsets = jnp.arange(1, upp + 1, dtype=jnp.float32)  # inclusive cumsum
+        phase = (
+            base[..., None]
+            + offsets[None, None, None, :] * rad[..., None]
+            + rand_ini
+        )  # [B, H, T_f, upp]
+        sines = jnp.sin(2.0 * math.pi * phase) * self.sine_amp
+
+        uv_f = (f0_frames > self.voiced_threshold).astype(jnp.float32)  # [B, T_f]
+        uv4 = uv_f[:, None, :, None]  # [B, 1, T_f, 1]
+        if rng_noise is not None:
+            noise_amp = uv4 * self.add_noise_std + (1.0 - uv4) * self.sine_amp / 3.0
+            noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
+            sines = sines * uv4 + noise
+        else:
+            sines = sines * uv4
+
+        w = kernel[:, 0].astype(sines.dtype)
+        merged = jnp.einsum("bhtu,h->btu", sines, w) + bias.astype(sines.dtype)
+        har_source = jnp.tanh(merged.reshape(b, t_f * upp, 1)).astype(self.dtype)
+
+        uv = jnp.broadcast_to(uv_f[:, :, None, None], (b, t_f, upp, 1)).reshape(
+            b, t_f * upp, 1
+        )
         return har_source, uv
 
 

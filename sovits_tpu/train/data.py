@@ -73,6 +73,10 @@ class FeatureDataset:
         self.vol_aug = hps.train.vol_aug if vol_aug is None else vol_aug
         self.pad_frames = hps.data.pad_to_frames or 800
         self.interp_mode = hps.data.unit_interpolate_mode or "nearest"
+        # all_in_mem: preload every utterance into RAM (train.py:61-65)
+        self._cache = None
+        if hps.train.all_in_mem:
+            self._cache = [self.load_utterance(p) for p in self.paths]
 
     def __len__(self):
         return len(self.paths)
@@ -167,7 +171,11 @@ class FeatureDataset:
         return item
 
     def padded_example(self, index: int, rng: np.random.Generator) -> dict:
-        item = self._augment_and_crop(self.load_utterance(self.paths[index]), rng)
+        base = (
+            self._cache[index] if self._cache is not None
+            else self.load_utterance(self.paths[index])
+        )
+        item = self._augment_and_crop(base, rng)
         t = item["f0"].shape[0]
         pad_t = self.pad_frames
 

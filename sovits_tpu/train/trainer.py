@@ -65,6 +65,28 @@ class MetricsLogger:
             self.tb.close()
 
 
+def _record_git_hash(model_dir: Path) -> None:
+    """check_git_hash analog (utils.py:361-378): pin the code revision next
+    to checkpoints, warn when resuming with different code."""
+    import subprocess
+
+    try:
+        cur = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True, timeout=10
+        ).stdout.strip()
+    except Exception:
+        return
+    if not cur:
+        return
+    path = model_dir / "githash"
+    if path.exists():
+        saved = path.read_text().strip()
+        if saved != cur:
+            logger.warning("git hash mismatch: saved %s vs current %s", saved[:8], cur[:8])
+    else:
+        path.write_text(cur)
+
+
 def epoch_lr(hps, epoch: int) -> float:
     """Warmup + per-epoch exponential decay (train.py:110-122, 131-132)."""
     base = hps.train.learning_rate
@@ -78,6 +100,7 @@ def train(hps, model_dir: str | Path, max_steps: int | None = None, mesh=None):
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=True)
     scfg.save_config(hps, model_dir / "config.json")
+    _record_git_hash(model_dir)
     mlog = MetricsLogger(model_dir)
 
     mesh = mesh or make_mesh()

@@ -92,3 +92,12 @@ def test_http_api_endpoints(svc):
         assert len(out) > 0 and np.isfinite(out).all()
     finally:
         server.shutdown()
+
+
+def test_slice_inference_spk_mix(svc):
+    mix = {0: [[0.0, 1.0, 1.0, 0.0]], 1: [[0.0, 1.0, 0.0, 1.0]]}
+    audio_in = _tone(220, 1.2)
+    out = svc.slice_inference(
+        audio_in, SR, mix, 0, f0_predictor="yin", noice_scale=0.0, use_spk_mix=True
+    )
+    assert np.isfinite(out).all() and len(out) > 0
