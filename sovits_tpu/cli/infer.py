@@ -59,8 +59,6 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
-    if args.enhance:
-        raise NotImplementedError("the NSF-HiFiGAN enhancer port lands with the diffusion stack")
 
     svc = Svc(
         args.model_path,
@@ -70,6 +68,7 @@ def main(argv=None):
         shallow_diffusion=args.shallow_diffusion,
         diffusion_model_path=args.diffusion_model_path if args.shallow_diffusion else None,
         diffusion_config_path=args.diffusion_config_path,
+        nsf_hifigan_enhance=args.enhance,
     )
 
     out_dir = Path("results")
@@ -101,6 +100,7 @@ def main(argv=None):
                     second_encoding=args.second_encoding,
                     loudness_envelope_adjustment=args.loudness_envelope_adjustment,
                     use_spk_mix=args.use_spk_mix,
+                    enhancer_adaptive_key=args.enhancer_adaptive_key,
                 )
                 key = "auto" if args.auto_predict_f0 else f"{tran}key"
                 out = out_dir / (

@@ -72,6 +72,8 @@ class Svc:
         shallow_diffusion: bool = False,
         diffusion_model_path: str | None = None,
         diffusion_config_path: str | None = None,
+        nsf_hifigan_enhance: bool = False,
+        enhancer_ckpt: str | None = "pretrain/nsf_hifigan/model",
         dtype=jnp.float32,
     ):
         self.hps = scfg.load_config(config_path)
@@ -108,6 +110,13 @@ class Svc:
             self.diffusion = DiffusionRefiner(
                 diffusion_model_path, diffusion_config_path
             )
+
+        # shallow diffusion supersedes the enhancer (infer_tool.py:183-184)
+        self.enhancer = None
+        if nsf_hifigan_enhance and not shallow_diffusion:
+            from .enhancer import Enhancer
+
+            self.enhancer = Enhancer("nsf-hifigan", enhancer_ckpt)
 
     @property
     def encoder(self):
@@ -222,6 +231,7 @@ class Svc:
         loudness_envelope_adjustment: float = 1.0,
         seed: int = 52468,
         spk_mix_frames: np.ndarray | None = None,
+        enhancer_adaptive_key: float = 0,
     ):
         """Convert one clip; returns (audio, n_samples, n_frames)."""
         if sr is not None and sr != self.target_sample:
@@ -274,6 +284,11 @@ class Svc:
             audio = self.diffusion.refine(
                 self, audio, c, f0, vol, spk, k_step, second_encoding
             )
+        elif self.enhancer is not None:
+            audio, _ = self.enhancer.enhance(
+                audio, self.target_sample, f0[:n_frames], self.hop_size,
+                adaptive_key=enhancer_adaptive_key,
+            )
 
         if loudness_envelope_adjustment != 1:
             audio = change_rms(
@@ -303,6 +318,7 @@ class Svc:
         second_encoding: bool = False,
         loudness_envelope_adjustment: float = 1.0,
         use_spk_mix: bool = False,
+        enhancer_adaptive_key: float = 0,
     ) -> np.ndarray:
         """Silence-sliced full-clip conversion (infer_tool.py:356-496).
 
@@ -372,6 +388,7 @@ class Svc:
                     second_encoding=second_encoding,
                     loudness_envelope_adjustment=loudness_envelope_adjustment,
                     spk_mix_frames=chunk_mix,
+                    enhancer_adaptive_key=enhancer_adaptive_key,
                 )
                 global_frame += out_frames
                 out_pad = int(self.target_sample * pad_seconds)

@@ -101,3 +101,24 @@ def test_slice_inference_spk_mix(svc):
         audio_in, SR, mix, 0, f0_predictor="yin", noice_scale=0.0, use_spk_mix=True
     )
     assert np.isfinite(out).all() and len(out) > 0
+
+
+def test_enhancer_runs_fresh_init():
+    from sovits_tpu.infer.enhancer import Enhancer
+
+    enh = Enhancer(
+        "nsf-hifigan", None,
+        config={
+            "sampling_rate": 8000, "num_mels": 16, "n_fft": 256, "win_size": 256,
+            "hop_size": 64, "fmin": 40, "fmax": 4000,
+            "upsample_rates": [4, 4, 4], "upsample_kernel_sizes": [8, 8, 8],
+            "upsample_initial_channel": 32,
+        },
+    )
+    wav = _tone(220, 0.4)
+    f0 = np.full(len(wav) // 64, 220.0, np.float32)
+    out, out_sr = enh.enhance(wav, SR, f0, 64, adaptive_key=0)
+    assert out_sr == 8000
+    assert np.isfinite(out).all() and len(out) > 0
+    out2, _ = enh.enhance(wav, SR, f0, 64, adaptive_key=2)
+    assert np.isfinite(out2).all()
