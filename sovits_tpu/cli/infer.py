@@ -66,7 +66,10 @@ def main(argv=None):
         cluster_model_path=args.cluster_model_path or None,
         feature_retrieval=args.feature_retrieval,
         shallow_diffusion=args.shallow_diffusion,
-        diffusion_model_path=args.diffusion_model_path if args.shallow_diffusion else None,
+        only_diffusion=args.only_diffusion,
+        diffusion_model_path=args.diffusion_model_path
+        if (args.shallow_diffusion or args.only_diffusion)
+        else None,
         diffusion_config_path=args.diffusion_config_path,
         nsf_hifigan_enhance=args.enhance,
     )

@@ -23,8 +23,10 @@ class DiffusionRefiner:
 
         config_path = config_path or str(Path(model_path).parent / "config.yaml")
         self.args = load_diffusion_config(config_path)
+        vocoder_cfg = self.args.vocoder.config.to_dict() if self.args.vocoder.config else None
         self.vocoder = NsfHifiGANVocoder(
-            self.args.vocoder.ckpt if Path(str(self.args.vocoder.ckpt)).exists() else None
+            self.args.vocoder.ckpt if Path(str(self.args.vocoder.ckpt)).exists() else None,
+            config=vocoder_cfg,
         )
         if str(model_path).endswith(".npz"):
             from ..cli.tools import unflatten_params

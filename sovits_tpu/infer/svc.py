@@ -70,6 +70,7 @@ class Svc:
         cluster_model_path: str | None = None,
         feature_retrieval: bool = False,
         shallow_diffusion: bool = False,
+        only_diffusion: bool = False,
         diffusion_model_path: str | None = None,
         diffusion_config_path: str | None = None,
         nsf_hifigan_enhance: bool = False,
@@ -104,12 +105,15 @@ class Svc:
             self.cluster = load_cluster_model(cluster_model_path, feature_retrieval)
 
         self.diffusion = None
-        if shallow_diffusion and diffusion_model_path:
+        self.only_diffusion = only_diffusion
+        if (shallow_diffusion or only_diffusion) and diffusion_model_path:
             from .diffusion_wrapper import DiffusionRefiner
 
             self.diffusion = DiffusionRefiner(
                 diffusion_model_path, diffusion_config_path
             )
+        if only_diffusion and self.diffusion is None:
+            raise FileNotFoundError("only_diffusion requires a diffusion model")
 
         # shallow diffusion supersedes the enhancer (infer_tool.py:183-184)
         self.enhancer = None
@@ -244,10 +248,28 @@ class Svc:
         n_frames = len(f0)
 
         vol = None
-        if self.vol_embedding:
+        if self.vol_embedding or self.only_diffusion:
             vol = np.asarray(
                 dsp_stft.energy(jnp.asarray(wav[None, : n_frames * self.hop_size]), self.hop_size)
             )
+
+        if self.only_diffusion:
+            # infer_tool.py:300-328 only_diffusion branch: diffuse from the
+            # INPUT audio's mel (full k_step) and vocode — no VITS pass.
+            spk_id = self.spk2id.get(speaker)
+            if spk_id is None and isinstance(speaker, int):
+                spk_id = speaker
+            audio = self.diffusion.refine(
+                self, wav[: n_frames * self.hop_size], c, f0,
+                vol if not self.vol_embedding else vol,
+                np.asarray([int(spk_id or 0)]), k_step, second_encoding, seed,
+            )
+            if loudness_envelope_adjustment != 1:
+                audio = change_rms(
+                    wav, self.target_sample, audio, self.target_sample,
+                    loudness_envelope_adjustment,
+                )
+            return audio, audio.shape[-1], n_frames
 
         bucket = next((b for b in BUCKETS if b >= n_frames), n_frames)
 

@@ -116,3 +116,79 @@ def test_vocoder_facade_fresh_init():
     out = voc.infer(mel, f0)
     assert out.shape == (1, mel.shape[1] * 64, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_only_diffusion_end_to_end(tmp_path):
+    """Train a tiny diffusion model, then run the only-diffusion Svc path."""
+    import yaml as _yaml
+    from scipy.io import wavfile as _wavfile
+
+    from tests.conftest import FakeEncoder
+    from tests.tiny import make_synthetic_dataset, tiny_hps
+
+    from sovits_tpu import config as scfg
+    from sovits_tpu.infer.svc import Svc
+    from sovits_tpu.models import MultiPeriodDiscriminator, factory
+    from sovits_tpu.train import checkpoint as ckpt_lib
+    from sovits_tpu.train.step import create_train_state, make_optimizer
+
+    # tiny VITS checkpoint + config (the Svc shell still needs one)
+    hps = tiny_hps()
+    make_synthetic_dataset(tmp_path / "data", hps, n_per_spk=1)
+    scfg.save_config(hps, tmp_path / "config.json")
+    syn = factory.build_synthesizer(hps)
+    g_params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16)
+    d_params = factory.init_discriminator_params(
+        MultiPeriodDiscriminator(), jax.random.PRNGKey(1), seg_samples=hps.train.segment_size
+    )
+    tx = make_optimizer(hps)
+    mgr = ckpt_lib.CheckpointManager(tmp_path / "ckpt", keep=1)
+    mgr.save(0, create_train_state(g_params, d_params, tx, tx), extra={"epoch": 0})
+    mgr.close()
+
+    # tiny diffusion model matching the same 8 kHz / hop-64 geometry,
+    # 16-mel vocoder built from config (fresh init)
+    mels = 16
+    diff_cfg = {
+        "data": {
+            "sampling_rate": 8000, "block_size": 64, "duration": 0.128,
+            "encoder_out_channels": 24,
+            "training_files": str(tmp_path / "difftrain.txt"),
+        },
+        "model": {"n_layers": 2, "n_chans": 16, "n_hidden": 12, "timesteps": 20,
+                  "k_step_max": 0, "n_spk": 2, "use_pitch_aug": False},
+        "train": {"batch_size": 8, "interval_log": 1, "interval_val": 2, "lr": 1e-4},
+        "infer": {"speedup": 4, "method": "dpm-solver++"},
+        "env": {"expdir": str(tmp_path / "diffexp")},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": "missing", "config": {
+            "sampling_rate": 8000, "num_mels": mels, "n_fft": 256, "win_size": 256,
+            "hop_size": 64, "fmin": 40, "fmax": 4000,
+            "upsample_rates": [4, 4, 4], "upsample_kernel_sizes": [8, 8, 8],
+            "upsample_initial_channel": 32,
+        }},
+        "spk": {"spk0": 0},
+    }
+    (tmp_path / "diffusion.yaml").write_text(_yaml.safe_dump(diff_cfg))
+    _write_diff_dataset(tmp_path / "diffdata", n_files=3, frames=24, hop=64,
+                        sr=8000, units_dim=24, mels=mels)
+    (tmp_path / "difftrain.txt").write_text(
+        "\n".join(str(p) for p in sorted((tmp_path / "diffdata" / "spk0").glob("*.wav"))) + "\n"
+    )
+    from sovits_tpu.train.diffusion import load_diffusion_config, train_diffusion
+
+    args = load_diffusion_config(tmp_path / "diffusion.yaml")
+    train_diffusion(args, max_steps=2, vocoder_dim=mels)
+    model_npz = sorted((tmp_path / "diffexp").glob("model_*.npz"))[-1]
+
+    svc = Svc(
+        str(tmp_path / "ckpt"), str(tmp_path / "config.json"), encoder=FakeEncoder(),
+        only_diffusion=True,
+        diffusion_model_path=str(model_npz),
+        diffusion_config_path=str(tmp_path / "diffusion.yaml"),
+    )
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    audio, n_samples, n_frames = svc.infer("spk0", 0, wav, sr=sr, f0_predictor="yin", k_step=20)
+    assert np.isfinite(audio).all()
+    assert n_frames == len(wav) // 64
