@@ -113,9 +113,10 @@ def main():
     print(json.dumps(result))
 
 
-def bench_train_step(hps, iters: int = 5) -> float:
+def bench_train_step(hps, iters: int = 10) -> float:
     """Full-size fused GAN train step rate on one chip (bf16 compute),
-    batch 6 x 512 frames (max_speclen, config_template.json:23)."""
+    batch 6 x 512 frames (max_speclen, config_template.json:23). Steps run
+    inside one device-side scan so tunnel latency doesn't distort the rate."""
     from sovits_tpu import train as strain
     from sovits_tpu.models import factory
     from sovits_tpu.parallel import make_mesh, replicate_tree, shard_batch
@@ -136,7 +137,7 @@ def bench_train_step(hps, iters: int = 5) -> float:
     state = replicate_tree(
         strain.create_train_state(g_params, d_params, g_tx, d_tx), mesh
     )
-    step_fn = strain.make_train_step(syn, disc, g_tx, d_tx, hps)
+    raw_step = strain.make_train_step(syn, disc, g_tx, d_tx, hps, jit_compile=False)
 
     rng = np.random.default_rng(0)
     b, t, hop = 6, 512, hps.data.hop_length
@@ -156,12 +157,20 @@ def bench_train_step(hps, iters: int = 5) -> float:
         },
         mesh,
     )
-    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))  # compile
-    jax.block_until_ready(metrics)
+    # device-side loop: N steps per host round trip (tunnel-latency immune)
+    def loop(state):
+        def body(st, i):
+            st, metrics = raw_step(st, batch, jax.random.fold_in(jax.random.PRNGKey(0), i))
+            return st, metrics["loss/g/total"]
+        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return st, losses.sum()
+
+    loop_jit = jax.jit(loop, donate_argnums=(0,))
+    state, warm = loop_jit(state)
+    np.asarray(warm)
     t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(metrics)
+    state, out = loop_jit(state)
+    np.asarray(out)
     return iters / (time.perf_counter() - t0)
 
 

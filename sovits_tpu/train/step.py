@@ -20,7 +20,6 @@ by the caller through the injected learning rate.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
@@ -76,8 +75,12 @@ def make_train_step(
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
     hps,
+    jit_compile: bool = True,
 ) -> Callable:
-    """Build the jitted train step closed over static modules/config."""
+    """Build the train step closed over static modules/config.
+
+    jit_compile=False returns the raw traceable body (for embedding in an
+    outer scan, e.g. the benchmark's device-side loop)."""
 
     hop = hps.data.hop_length
     seg_frames = hps.train.segment_size // hop
@@ -107,7 +110,6 @@ def make_train_step(
             rngs=rngs,
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: GanTrainState, batch: dict, rng: jax.Array):
         rngs = {
             "noise": jax.random.fold_in(rng, 0),
@@ -198,4 +200,6 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if jit_compile:
+        return jax.jit(train_step, donate_argnums=(0,))
     return train_step
