@@ -97,6 +97,9 @@ def main():
         "unit": "rtf",
         "vs_baseline": round(target / rtf, 3) if rtf > 0 else 0.0,
     }
+    # emit the headline immediately; the train-rate detail below compiles a
+    # large program and must not delay (or be able to fail) the metric
+    print(json.dumps(result), flush=True)
 
     try:
         details = {
@@ -109,8 +112,6 @@ def main():
     except Exception as e:  # keep the headline metric robust
         with open("bench_details.json", "w") as f:
             json.dump({"infer_rtf_device": rtf, "train_bench_error": str(e)}, f)
-
-    print(json.dumps(result))
 
 
 def bench_train_step(hps, iters: int = 10) -> float:
