@@ -30,7 +30,8 @@ from ..train.data import load_filelist, load_wav
 
 
 def process_one(
-    path: str, hps, encoder, f0_predictor, use_diff: bool = False, rng=None
+    path: str, hps, encoder, f0_predictor, use_diff: bool = False, rng=None,
+    mel_extractor=None,
 ) -> None:
     wav, sr = load_wav(path)
     assert sr == hps.data.sampling_rate, (path, sr)
@@ -64,22 +65,16 @@ def process_one(
         vol = np.asarray(dsp_stft.energy(jnp.asarray(wav[None]), hop)[0])
         np.save(vol_path, vol.astype(np.float32))
 
-    if use_diff:
+    if use_diff and mel_extractor is not None:
+        # Diffusion artifacts use the *vocoder's* mel contract (128-mel nvSTFT
+        # at the vocoder rate), with keyshift applied to the aug mel — exactly
+        # preprocess_hubert_f0.py:84-103 (`mel_extractor.extract(aug_wav,
+        # sampling_rate, keyshift=keyshift)`). Unit2Mel.out_dims must equal
+        # the saved mel dimension.
         mel_path = Path(path + ".mel.npy")
         if not mel_path.exists():
-            mel = np.asarray(
-                dsp_stft.mel_spectrogram(
-                    jnp.asarray(wav[None]),
-                    n_fft=hps.data.filter_length,
-                    n_mels=hps.data.n_mel_channels,
-                    sample_rate=hps.data.sampling_rate,
-                    hop_length=hop,
-                    win_length=hps.data.win_length,
-                    fmin=hps.data.mel_fmin,
-                    fmax=hps.data.mel_fmax,
-                )[0]
-            )
-            np.save(mel_path, mel.astype(np.float32))
+            mel = np.asarray(mel_extractor.extract(wav[None], sr)[0])
+            np.save(mel_path, mel.astype(np.float32))  # [T, n_mels]
         aug_path = Path(path + ".aug_mel.npy")
         if not aug_path.exists() and rng is not None:
             # vol shift + keyshift augmentation (preprocess_hubert_f0.py:84-103)
@@ -89,18 +84,11 @@ def process_one(
             keyshift = rng.uniform(-5, 5)
             aug_wav = wav * (10.0**log10_vol_shift)
             aug_mel = np.asarray(
-                dsp_stft.mel_spectrogram(
-                    jnp.asarray(aug_wav[None]),
-                    n_fft=hps.data.filter_length,
-                    n_mels=hps.data.n_mel_channels,
-                    sample_rate=hps.data.sampling_rate,
-                    hop_length=hop,
-                    win_length=hps.data.win_length,
-                    fmin=hps.data.mel_fmin,
-                    fmax=hps.data.mel_fmax,
-                )[0]
+                mel_extractor.extract(aug_wav[None], sr, keyshift=keyshift)[0]
             )
-            np.save(aug_path, np.array([aug_mel, keyshift], dtype=object), allow_pickle=True)
+            np.save(aug_path, np.array([aug_mel.astype(np.float32), keyshift], dtype=object),
+                    allow_pickle=True)
+            # RMS volume is linear in gain, so extract(aug_wav) == vol * gain
             vol = np.load(vol_path)
             np.save(path + ".aug_vol.npy", (vol * 10.0**log10_vol_shift).astype(np.float32))
 
@@ -108,6 +96,7 @@ def process_one(
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", default="./configs/config.json")
+    parser.add_argument("--diffusion_config", default="./configs/diffusion.yaml")
     parser.add_argument("--f0_predictor", default="dio")
     parser.add_argument("--use_diff", action="store_true")
     parser.add_argument("--encoder_checkpoint", default=None)
@@ -115,6 +104,21 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     hps = scfg.load_config(args.config)
+    mel_extractor = None
+    if args.use_diff:
+        # Build the diffusion vocoder's mel extractor from diffusion.yaml
+        # (preprocess_hubert_f0.py:157-161: Vocoder(type, ckpt)); weights load
+        # lazily so this only needs the mel config.
+        from ..models.diffusion import NsfHifiGANVocoder
+        from ..train.diffusion import load_diffusion_config
+
+        dcfg = load_diffusion_config(args.diffusion_config)
+        voc = dcfg.vocoder
+        mel_extractor = NsfHifiGANVocoder(
+            voc.ckpt if Path(str(voc.ckpt)).exists() else None,
+            log10=(voc.type == "nsf-hifigan-log10"),
+            config=voc.config.to_dict() if voc.config else None,
+        )
     from ..encoders import get_speech_encoder
 
     encoder = get_speech_encoder(
@@ -134,7 +138,7 @@ def main(argv=None):
     for fl in filelists:
         paths.extend(load_filelist(fl))
     for i, p in enumerate(paths):
-        process_one(p, hps, encoder, f0p, args.use_diff, rng)
+        process_one(p, hps, encoder, f0p, args.use_diff, rng, mel_extractor)
         if (i + 1) % 20 == 0:
             print(f"{i + 1}/{len(paths)}")
     print(f"featurized {len(paths)} files")

@@ -43,9 +43,12 @@ class JaxSpeechEncoder:
         self.name = name
         self.hidden_dim = config.final_proj_dim or config.d_model
         self.net = Wav2Vec2Encoder(config)
-        self.variables = variables
+        # keep params as jit *arguments*, not closure constants — baking 95M
+        # params into the HLO bloats the executable (and overflows remote
+        # compile transports)
+        self.variables = jax.tree.map(jnp.asarray, variables)
         self.pad = pad
-        self._fn = jax.jit(lambda wav: self.net.apply(self.variables, wav))
+        self._fn = jax.jit(lambda v, wav: self.net.apply(v, wav))
         self._bucket_cache = {}
 
     def encode(self, wav16k: np.ndarray) -> np.ndarray:
@@ -56,7 +59,7 @@ class JaxSpeechEncoder:
         # bucket to multiples of 1 s to bound recompiles
         bucket = int(np.ceil(len(wav) / 16000)) * 16000
         wav = np.pad(wav, (0, bucket - len(wav)))
-        out = np.asarray(self._fn(jnp.asarray(wav[None])))[0]
+        out = np.asarray(self._fn(self.variables, jnp.asarray(wav[None])))[0]
         return out[:n_frames]
 
 

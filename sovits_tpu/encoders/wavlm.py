@@ -195,7 +195,7 @@ class WavLMSpeechEncoder:
         self.dims = dims
         self.net = WavLMEncoder(dims)
         self.variables = variables
-        self._fn = jax.jit(lambda wav: self.net.apply(self.variables, wav))
+        self._fn = jax.jit(lambda v, wav: self.net.apply(v, wav))
 
     def encode(self, wav16k: np.ndarray) -> np.ndarray:
         wav = np.asarray(wav16k, np.float32)
@@ -204,7 +204,7 @@ class WavLMSpeechEncoder:
         n_frames = (len(wav) - 400) // 320 + 1
         bucket = int(np.ceil(len(wav) / 16000)) * 16000
         wav = np.pad(wav, (0, bucket - len(wav)))
-        out = np.asarray(self._fn(jnp.asarray(wav[None])))[0]
+        out = np.asarray(self._fn(self.variables, jnp.asarray(wav[None])))[0]
         return out[:n_frames]
 
 

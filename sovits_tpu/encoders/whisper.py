@@ -183,7 +183,7 @@ class WhisperPPGEncoder:
         self.hidden_dim = dims.n_audio_state
         self.net = WhisperAudioEncoder(dims)
         self.variables = variables
-        self._fn = jax.jit(lambda mel: self.net.apply(self.variables, mel))
+        self._fn = jax.jit(lambda v, mel: self.net.apply(v, mel))
 
     def encode(self, wav16k: np.ndarray) -> np.ndarray:
         wav = np.asarray(wav16k, np.float32)
@@ -193,7 +193,7 @@ class WhisperPPGEncoder:
         else:
             wav = np.pad(wav, (0, N_SAMPLES - len(wav)))
         mel = log_mel_spectrogram(jnp.asarray(wav[None]))
-        ppg = np.asarray(self._fn(mel))[0]
+        ppg = np.asarray(self._fn(self.variables, mel))[0]
         return ppg[:ppg_len]
 
 

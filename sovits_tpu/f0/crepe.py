@@ -137,7 +137,7 @@ class CrepeF0Predictor(F0Predictor):
         self.threshold = threshold
         self.net = CrepeNet(capacity=capacity)
         self.variables = jax.tree.map(jnp.asarray, weights)
-        self._forward = jax.jit(lambda frames: self.net.apply(self.variables, frames))
+        self._forward = jax.jit(lambda v, frames: self.net.apply(v, frames))
 
     def raw_f0(self, wav: np.ndarray, p_len: int) -> np.ndarray:
         wav16 = resample(np.asarray(wav, np.float32), self.sampling_rate, SAMPLE_RATE)
@@ -150,6 +150,6 @@ class CrepeF0Predictor(F0Predictor):
         frames = xp[idx]
         frames = frames - frames.mean(axis=1, keepdims=True)
         frames = frames / (frames.std(axis=1, keepdims=True) + 1e-10)
-        salience = np.asarray(self._forward(jnp.asarray(frames)))
+        salience = np.asarray(self._forward(self.variables, jnp.asarray(frames)))
         f0, _ = decode_salience(salience, self.threshold)
         return f0

@@ -251,12 +251,12 @@ class FcpeF0Predictor(F0Predictor):
         self.threshold = threshold
         self.net = FcpeNet(f0_min=f0_min_model, f0_max=f0_max_model)
         self.variables = jax.tree.map(jnp.asarray, weights)
-        self._fn = jax.jit(lambda mel: self.net.apply(self.variables, mel))
+        self._fn = jax.jit(lambda v, mel: self.net.apply(v, mel))
 
     def raw_f0(self, wav: np.ndarray, p_len: int) -> np.ndarray:
         wav16 = resample(np.asarray(wav, np.float32), self.sampling_rate, 16000)
         mel = fcpe_mel(jnp.asarray(wav16[None]))
-        salience = np.asarray(self._fn(mel))[0]
+        salience = np.asarray(self._fn(self.variables, mel))[0]
         f0 = cents_local_decoder(salience, self.net.cent_table, self.threshold)
         t_in = np.arange(len(f0)) * 160 / 16000
         t_out = np.arange(p_len) * self.hop_length / self.sampling_rate

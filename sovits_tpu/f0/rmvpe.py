@@ -289,7 +289,7 @@ class RmvpeF0Predictor(F0Predictor):
         self.threshold = threshold
         self.net = RmvpeNet()
         self.variables = jax.tree.map(jnp.asarray, weights)
-        self._fn = jax.jit(lambda mel: self.net.apply(self.variables, mel))
+        self._fn = jax.jit(lambda v, mel: self.net.apply(v, mel))
 
     def raw_f0(self, wav: np.ndarray, p_len: int) -> np.ndarray:
         wav16 = resample(np.asarray(wav, np.float32), self.sampling_rate, SAMPLE_RATE)
@@ -297,7 +297,7 @@ class RmvpeF0Predictor(F0Predictor):
         n_frames = mel.shape[1]
         pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames  # inference.py:29-33
         mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
-        salience = np.asarray(self._fn(mel))[0, :n_frames]
+        salience = np.asarray(self._fn(self.variables, mel))[0, :n_frames]
         cents = to_local_average_cents(salience, self.threshold)
         f0 = np.where(cents > 0, 10.0 * 2.0 ** (cents / 1200.0), 0.0)
         # resample from the 10ms rmvpe grid to hop frames

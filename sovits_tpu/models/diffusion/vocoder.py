@@ -111,19 +111,32 @@ class NsfHifiGANVocoder:
             upsample_kernel_sizes=tuple(self.h["upsample_kernel_sizes"]),
             gin_channels=0,
         )
-        if ckpt_path and Path(ckpt_path).exists():
-            self.params = self._load(ckpt_path)
-        else:
-            # fresh init (tests / training-from-scratch)
-            t = 8
-            self.params = self.net.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, t, self.h["num_mels"])),
-                jnp.zeros((1, t)),
-            )["params"]
+        # Params are loaded lazily: `extract` (mel analysis, used by the
+        # preprocessing CLI) needs only the config, not generator weights.
+        self._ckpt_path = ckpt_path
+        self._params = None
         self._infer = jax.jit(
             lambda params, mel, f0: self.net.apply({"params": params}, mel, f0, rng=None)
         )
+
+    @property
+    def params(self) -> dict:
+        if self._params is None:
+            if self._ckpt_path and Path(self._ckpt_path).exists():
+                self._params = self._load(self._ckpt_path)
+            else:
+                # fresh init (tests / training-from-scratch)
+                t = 8
+                self._params = self.net.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, t, self.h["num_mels"])),
+                    jnp.zeros((1, t)),
+                )["params"]
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
 
     def _load(self, path: str) -> dict:
         import torch
