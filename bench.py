@@ -1,12 +1,15 @@
-"""Benchmark: RTF for a 10 s 44.1 kHz SVC conversion on one TPU chip.
+"""Benchmark: end-to-end RTF for a 10 s 44.1 kHz SVC conversion on one chip.
 
-Runs the flagship synthesis path (full-size SynthesizerTrn-equivalent:
-content prior -> reverse flow -> NSF-HiFiGAN at 44.1 kHz), bf16 compute,
-batch 1, 862 content frames (10 s at hop 512). Prints ONE JSON line.
+Measures the BASELINE.md chain — ContentVec768L12 speech encoder (full-size
+topology, random weights) + DIO f0 (host DSP) + SynthesizerTrn with
+NSF-HiFiGAN decode (noise sampling ON, the production path) — and prints
+ONE JSON line with the total RTF. Per-stage breakdown, the train step rate
+and a full-size mel-L1 parity number vs a converted torch reference land in
+bench_details.json.
 
-Baseline target (BASELINE.md): RTF < 0.05 on one v5e chip.
+Baseline target (BASELINE.md): RTF < 0.05 on one v5e chip;
 vs_baseline = target_rtf / measured_rtf (>1.0 beats the target).
-RTF harness mirrors the reference's solver RTF (diffusion/solver.py:54-59):
+RTF harness mirrors the reference solver (diffusion/solver.py:54-59):
 wall_time / (samples / sample_rate).
 """
 
@@ -18,100 +21,223 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+SECONDS = 10.0
+ITERS = 20
+
+
+def _scan_time(fn, *args, iters=ITERS):
+    """Device time per call: `iters` calls inside one lax.scan (one host
+    round trip, tunnel-latency immune); inputs perturbed to defeat CSE."""
+
+    def loop(*a):
+        def body(carry, i):
+            out = fn(*[x + i * 1e-6 if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x for x in a])
+            leaf = jax.tree.leaves(out)[0]
+            return carry + leaf.sum().astype(jnp.float32), None
+
+        return jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                            jnp.arange(iters, dtype=jnp.float32))[0]
+
+    jitted = jax.jit(loop)
+    np.asarray(jitted(*args))  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(jitted(*args))
+    return (time.perf_counter() - t0) / iters
+
 
 def main():
     from sovits_tpu import config as scfg
+    from sovits_tpu.encoders.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+    from sovits_tpu.f0 import get_f0_predictor
     from sovits_tpu.models import Synthesizer, factory
 
     hps = scfg.default_config()
     sr = hps.data.sampling_rate
     hop = hps.data.hop_length
-    seconds = 10.0
-    t_frames = int(sr * seconds) // hop  # 861
-
-    syn = factory.build_synthesizer(hps, dtype=jnp.bfloat16)
-    params = factory.init_synthesizer_params(
-        syn, jax.random.PRNGKey(0), hps, t_frames=32, batch=1
-    )
+    t_frames = int(sr * SECONDS) // hop  # 861
+    n_samples = t_frames * hop
 
     rng = np.random.default_rng(0)
+    # a voiced-ish test signal so DIO does real work
+    t = np.arange(int(sr * SECONDS)) / sr
+    wav = (
+        0.25 * np.sin(2 * np.pi * (170 + 30 * np.sin(2 * np.pi * 0.7 * t)) * t)
+        + 0.02 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+
+    # --- stage 1: speech encoder (vec768l12 topology, random weights) ---
+    enc_cfg = Wav2Vec2Config(output_layer=12)
+    enc = Wav2Vec2Encoder(enc_cfg, dtype=jnp.bfloat16)
+    wav16k = jnp.asarray(rng.standard_normal((1, int(16000 * SECONDS))), jnp.float32)
+    enc_vars = jax.jit(enc.init)(jax.random.PRNGKey(0), wav16k)
+    enc_time = _scan_time(lambda v, w: enc.apply(v, w), enc_vars, wav16k, iters=5)
+
+    # --- stage 2: DIO f0 (host DSP, reference default predictor) ---
+    dio = get_f0_predictor("dio", hop_length=hop, sampling_rate=sr)
+    dio.compute_f0_uv(wav)  # warm caches
+    t0 = time.perf_counter()
+    f0_np, uv_np = dio.compute_f0_uv(wav)
+    dio_time = time.perf_counter() - t0
+
+    # --- stage 3: synthesizer + NSF-HiFiGAN (noise sampling ON) ---
     c = jnp.asarray(rng.standard_normal((1, t_frames, hps.model.ssl_dim)), jnp.float32)
-    f0 = jnp.asarray(rng.uniform(100, 400, (1, t_frames)), jnp.float32)
-    uv = jnp.ones((1, t_frames), jnp.float32)
+    f0 = jnp.asarray(np.maximum(f0_np, 1.0)[None, :t_frames], jnp.float32)
+    uv = jnp.asarray(uv_np[None, :t_frames], jnp.float32)
     spk = jnp.zeros((1,), jnp.int32)
 
-    @jax.jit
-    def infer(c, f0, uv, spk):
-        wav, _ = syn.apply(
-            {"params": params},
-            c,
-            f0,
-            uv,
-            spk,
-            sample_noise=False,
-            method=Synthesizer.infer,
+    def synth_time(fused):
+        syn = factory.build_synthesizer(hps, dtype=jnp.bfloat16, fused_tail=fused)
+        params = factory.init_synthesizer_params(
+            syn, jax.random.PRNGKey(0), hps, t_frames=32, batch=1
         )
-        return wav
 
-    wav = infer(c, f0, uv, spk)
-    n_samples = wav.shape[1]
+        def fn(c, f0, uv):
+            wav_out, _ = syn.apply(
+                {"params": params}, c, f0, uv, spk, sample_noise=True,
+                rngs={"noise": jax.random.PRNGKey(1)}, method=Synthesizer.infer,
+            )
+            return wav_out
 
-    # Headline: pure device time per clip. N inferences run inside ONE
-    # device-side scan, so host<->device (tunnel) latency is paid once and
-    # amortized away; inputs are perturbed per iteration to defeat CSE.
-    iters = 20
+        return _scan_time(fn, c, f0, uv)
 
-    def body(carry, i):
-        w, _ = syn.apply(
-            {"params": params},
-            c + i * 1e-6,
-            f0,
-            uv,
-            spk,
-            sample_noise=False,
-            method=Synthesizer.infer,
-        )
-        return carry + w.sum(), None
+    try:
+        syn_time = synth_time(fused=True)
+        syn_mode = "pallas_fused_tail"
+    except Exception as e:  # pallas unavailable -> folded XLA pipeline
+        syn_time = synth_time(fused=False)
+        syn_mode = f"folded_xla ({type(e).__name__})"
 
-    loop = jax.jit(
-        lambda: jax.lax.scan(
-            body, jnp.zeros((), wav.dtype), jnp.arange(iters, dtype=jnp.float32)
-        )[0]
-    )
-    np.asarray(loop())  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(loop())
-    dt = (time.perf_counter() - t0) / iters
-
-    # secondary: naive per-call wall time incl. host round trip
-    t0 = time.perf_counter()
-    for _ in range(5):
-        np.asarray(infer(c, f0, uv, spk))
-    per_call = (time.perf_counter() - t0) / 5
-
-    rtf = dt / (n_samples / sr)
+    total = enc_time + dio_time + syn_time
+    rtf = total / SECONDS
     target = 0.05
     result = {
-        "metric": "svc_infer_rtf_10s_44k1_bf16",
+        "metric": "svc_e2e_rtf_10s_44k1_bf16",
         "value": round(rtf, 6),
         "unit": "rtf",
         "vs_baseline": round(target / rtf, 3) if rtf > 0 else 0.0,
     }
-    # emit the headline immediately; the train-rate detail below compiles a
-    # large program and must not delay (or be able to fail) the metric
+    # emit the headline immediately; details below must not delay/fail it
     print(json.dumps(result), flush=True)
 
+    details = {
+        "encoder_time_s": enc_time,
+        "dio_time_s": dio_time,
+        "synthesizer_time_s": syn_time,
+        "synthesizer_mode": syn_mode,
+        "total_rtf": rtf,
+        "encoder_rtf": enc_time / SECONDS,
+        "dio_rtf": dio_time / SECONDS,
+        "synthesizer_rtf": syn_time / SECONDS,
+        "n_samples": n_samples,
+    }
     try:
-        details = {
-            "infer_rtf_device": rtf,
-            "infer_rtf_with_host_roundtrip": per_call / (n_samples / sr),
-            "train_steps_per_sec": bench_train_step(hps),
-        }
-        with open("bench_details.json", "w") as f:
-            json.dump(details, f, indent=2)
-    except Exception as e:  # keep the headline metric robust
-        with open("bench_details.json", "w") as f:
-            json.dump({"infer_rtf_device": rtf, "train_bench_error": str(e)}, f)
+        details["mel_l1_vs_torch_fullsize"] = bench_mel_l1(hps)
+    except Exception as e:
+        details["mel_l1_error"] = repr(e)
+    try:
+        details["train_steps_per_sec"] = bench_train_step(hps)
+    except Exception as e:
+        details["train_bench_error"] = repr(e)
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+
+def bench_mel_l1(hps, t_frames: int = 200) -> float:
+    """Full-size mel-L1 north star (BASELINE.md: < 1e-3 vs torch).
+
+    Builds the reference SynthesizerTrn at full size (random init), converts
+    its weights, runs both deterministically (fp32, no sampled noise) on the
+    same inputs, and compares the mel spectrograms of the two waveforms.
+    """
+    import sys
+
+    sys.path.insert(0, "tests")
+    from torch_ref import setup_reference_imports, state_dict_numpy
+
+    setup_reference_imports()
+    import models as ref_models
+    import torch
+    from test_models import no_torch_randomness
+
+    from sovits_tpu.convert import from_torch as ft
+    from sovits_tpu.dsp import stft as dsp_stft
+    from sovits_tpu.models import Synthesizer, factory
+
+    torch.manual_seed(0)
+    m, d = hps.model, hps.data
+    ref = ref_models.SynthesizerTrn(
+        spec_channels=d.filter_length // 2 + 1,
+        segment_size=hps.train.segment_size // d.hop_length,
+        inter_channels=m.inter_channels,
+        hidden_channels=m.hidden_channels,
+        filter_channels=m.filter_channels,
+        n_heads=m.n_heads,
+        n_layers=m.n_layers,
+        kernel_size=m.kernel_size,
+        p_dropout=m.p_dropout,
+        resblock=m.resblock,
+        resblock_kernel_sizes=list(m.resblock_kernel_sizes),
+        resblock_dilation_sizes=list(map(list, m.resblock_dilation_sizes)),
+        upsample_rates=list(m.upsample_rates),
+        upsample_initial_channel=m.upsample_initial_channel,
+        upsample_kernel_sizes=list(m.upsample_kernel_sizes),
+        gin_channels=m.gin_channels,
+        ssl_dim=m.ssl_dim,
+        n_speakers=m.n_speakers,
+        sampling_rate=d.sampling_rate,
+        vol_embedding=bool(m.vol_embedding),
+        vocoder_name=m.vocoder_name or "nsf-hifigan",
+        use_depthwise_conv=bool(m.use_depthwise_conv),
+        use_automatic_f0_prediction=bool(m.use_automatic_f0_prediction),
+        flow_share_parameter=bool(m.flow_share_parameter),
+        n_flow_layer=m.n_flow_layer or 4,
+    )
+    ref.eval()
+
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((1, t_frames, m.ssl_dim)).astype(np.float32) * 0.3
+    f0 = rng.uniform(100, 300, (1, t_frames)).astype(np.float32)
+    uv = np.ones((1, t_frames), np.float32)
+
+    with no_torch_randomness(), torch.no_grad():
+        ref_wav, _ = ref.infer(
+            torch.from_numpy(c.transpose(0, 2, 1)),
+            torch.from_numpy(f0),
+            torch.from_numpy(uv),
+            g=torch.tensor([0]),
+            noice_scale=0.0,
+        )
+    ref_wav = ref_wav.numpy()[0, 0]
+
+    syn = factory.build_synthesizer(hps, dtype=jnp.float32)
+    params = jax.tree.map(
+        jnp.asarray,
+        ft.synthesizer(
+            state_dict_numpy(ref),
+            n_flows=m.n_flow_layer or 4,
+            use_automatic_f0_prediction=bool(m.use_automatic_f0_prediction),
+            vol_embedding=bool(m.vol_embedding),
+            n_upsamples=len(m.upsample_rates),
+            n_resblock_kernels=len(m.resblock_kernel_sizes),
+        ),
+    )
+    got_wav, _ = syn.apply(
+        {"params": params}, jnp.asarray(c), jnp.asarray(f0), jnp.asarray(uv),
+        jnp.zeros((1,), jnp.int32), sample_noise=False, noise_scale=0.0,
+        method=Synthesizer.infer,
+    )
+    got_wav = np.asarray(got_wav)[0, :, 0]
+
+    n = min(len(ref_wav), len(got_wav))
+    mel_ref = np.asarray(dsp_stft.mel_spectrogram(
+        jnp.asarray(ref_wav[None, :n]), d.filter_length, d.n_mel_channels,
+        d.sampling_rate, d.hop_length, d.win_length, d.mel_fmin, d.mel_fmax,
+    ))
+    mel_got = np.asarray(dsp_stft.mel_spectrogram(
+        jnp.asarray(got_wav[None, :n]), d.filter_length, d.n_mel_channels,
+        d.sampling_rate, d.hop_length, d.win_length, d.mel_fmin, d.mel_fmax,
+    ))
+    return float(np.abs(mel_ref - mel_got).mean())
 
 
 def bench_train_step(hps, iters: int = 10) -> float:
@@ -158,6 +284,7 @@ def bench_train_step(hps, iters: int = 10) -> float:
         },
         mesh,
     )
+
     # device-side loop: N steps per host round trip (tunnel-latency immune)
     def loop(state):
         def body(st, i):

@@ -279,6 +279,24 @@ def conv2d_wn(sd: dict, prefix: str = "") -> dict:
     return out
 
 
+def conv1d_sn(sd: dict, prefix: str = "") -> tuple[dict, dict]:
+    """spectral_norm'd nn.Conv1d -> (params{kernel,bias}, spectral{u,v})."""
+    sd = _sub(sd, prefix)
+    params = {"kernel": np.transpose(sd["weight_orig"], (2, 1, 0))}
+    if "bias" in sd:
+        params["bias"] = sd["bias"]
+    return params, {"u": sd["weight_u"], "v": sd["weight_v"]}
+
+
+def conv2d_sn(sd: dict, prefix: str = "") -> tuple[dict, dict]:
+    """spectral_norm'd nn.Conv2d -> (params{kernel,bias}, spectral{u,v})."""
+    sd = _sub(sd, prefix)
+    params = {"kernel": np.transpose(sd["weight_orig"], (2, 3, 1, 0))}
+    if "bias" in sd:
+        params["bias"] = sd["bias"]
+    return params, {"u": sd["weight_u"], "v": sd["weight_v"]}
+
+
 def discriminator_p(sd: dict, prefix: str = "") -> dict:
     out = {f"conv_{i}": conv2d_wn(sd, prefix + f"convs.{i}.") for i in range(5)}
     out["conv_post"] = conv2d_wn(sd, prefix + "conv_post.")
@@ -298,6 +316,32 @@ def multi_period_discriminator(sd: dict, prefix: str = "", periods=(2, 3, 5, 7, 
     for i, p in enumerate(periods):
         out[f"disc_p{p}"] = discriminator_p(sd, prefix + f"discriminators.{i + 1}.")
     return out
+
+
+def multi_period_discriminator_spectral(
+    sd: dict, prefix: str = "", periods=(2, 3, 5, 7, 11)
+) -> dict:
+    """use_spectral_norm=True variant (models.py:168,203): returns full
+    variables {params, spectral} with the torch power-iteration state."""
+    params: dict = {"disc_s": {}}
+    spectral: dict = {"disc_s": {}}
+
+    def put(tree_p, tree_s, name, pair):
+        tree_p[name], tree_s[name] = pair
+
+    for i in range(6):
+        put(params["disc_s"], spectral["disc_s"], f"conv_{i}",
+            conv1d_sn(sd, prefix + f"discriminators.0.convs.{i}."))
+    put(params["disc_s"], spectral["disc_s"], "conv_post",
+        conv1d_sn(sd, prefix + "discriminators.0.conv_post."))
+    for i, p in enumerate(periods):
+        params[f"disc_p{p}"], spectral[f"disc_p{p}"] = {}, {}
+        for j in range(5):
+            put(params[f"disc_p{p}"], spectral[f"disc_p{p}"], f"conv_{j}",
+                conv2d_sn(sd, prefix + f"discriminators.{i + 1}.convs.{j}."))
+        put(params[f"disc_p{p}"], spectral[f"disc_p{p}"], "conv_post",
+            conv2d_sn(sd, prefix + f"discriminators.{i + 1}.conv_post."))
+    return {"params": params, "spectral": spectral}
 
 
 def synthesizer(

@@ -200,7 +200,8 @@ class Svc:
     def _jit_for_bucket(self, t: int):
         if t not in self._infer_jit:
 
-            def fn(params, c, f0, uv, spk, vol, lengths, noise_scale, predict_f0, key):
+            def fn(params, c, f0, uv, spk, vol, lengths, noise_scale,
+                   predict_f0, key, sample_noise=True):
                 return self.model.apply(
                     {"params": params},
                     c,
@@ -211,12 +212,114 @@ class Svc:
                     predict_f0=predict_f0,
                     vol=vol,
                     lengths=lengths,
+                    sample_noise=sample_noise,
                     rngs={"noise": key},
                     method=Synthesizer.infer,
                 )
 
-            self._infer_jit[t] = jax.jit(fn, static_argnames=("predict_f0",))
+            self._infer_jit[t] = jax.jit(
+                fn, static_argnames=("predict_f0", "sample_noise")
+            )
         return self._infer_jit[t]
+
+    def _prepare_chunk(
+        self, speaker, tran, wav, sr, cluster_infer_ratio, f0_filter,
+        f0_predictor, cr_threshold, spk_mix_frames=None,
+    ) -> dict:
+        """Host-side front end for one chunk: resample, f0, units, volume,
+        speaker spec. The device synth runs later (possibly batched)."""
+        if sr is not None and sr != self.target_sample:
+            wav = resample(wav, sr, self.target_sample)
+        wav = np.asarray(wav, dtype=np.float32)
+        c, f0, uv = self.get_unit_f0(
+            wav, tran, cluster_infer_ratio, speaker, f0_filter, f0_predictor,
+            cr_threshold,
+        )
+        n_frames = len(f0)
+        vol = None
+        if self.vol_embedding or self.only_diffusion:
+            vol = np.asarray(
+                dsp_stft.energy(
+                    jnp.asarray(wav[None, : n_frames * self.hop_size]), self.hop_size
+                )
+            )
+        if spk_mix_frames is not None:
+            mix = np.asarray(spk_mix_frames[:n_frames], np.float32)
+            spk = ("mix", mix)
+            spk_array = jnp.asarray(mix[None])
+        else:
+            spk_id = self.spk2id.get(speaker)
+            if spk_id is None and isinstance(speaker, int):
+                spk_id = speaker
+            if spk_id is None:
+                raise RuntimeError("The name you entered is not in the speaker list!")
+            spk = ("id", int(spk_id))
+            spk_array = jnp.asarray([int(spk_id)], jnp.int32)
+        return dict(wav=wav, c=c, f0=f0, uv=uv, vol=vol, n_frames=n_frames,
+                    spk=spk, spk_array=spk_array)
+
+    def _run_synth_batch(
+        self, items: list, noice_scale: float, auto_predict_f0: bool,
+        seed: int, max_batch: int = 8, sample_noise: bool = True,
+    ) -> list:
+        """Run the synthesizer over prepared chunks, batching same-bucket
+        chunks into one device dispatch (the reference runs batch-1 per
+        chunk, infer_tool.py:460-482). Returns audio per item, in order.
+
+        Note: within a batch the sampled prior noise differs per row (one
+        PRNG key per dispatch), where sequential batch-1 calls with a fixed
+        seed would give every chunk the *same* noise pattern. With
+        noice_scale=0 the paths are bit-identical."""
+        out: list = [None] * len(items)
+        groups: dict = {}
+        for idx, it in enumerate(items):
+            bucket = next((b for b in BUCKETS if b >= it["n_frames"]), it["n_frames"])
+            groups.setdefault((bucket, it["spk"][0]), []).append(idx)
+
+        for (bucket, spk_kind), idxs in sorted(groups.items()):
+            for start in range(0, len(idxs), max_batch):
+                sub = idxs[start : start + max_batch]
+                # pad the batch to a power of two to bound recompiles
+                b_pad = 1 << (len(sub) - 1).bit_length()
+                rows = sub + [sub[-1]] * (b_pad - len(sub))
+
+                def pad_t(x):
+                    return np.pad(
+                        x, [(0, bucket - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+                    )
+
+                def stack(key, dtype=np.float32):
+                    return jnp.asarray(
+                        np.stack([pad_t(np.asarray(items[i][key], dtype)) for i in rows])
+                    )
+
+                if spk_kind == "mix":
+                    spk = jnp.asarray(
+                        np.stack([pad_t(items[i]["spk"][1]) for i in rows])
+                    )
+                else:
+                    spk = jnp.asarray(
+                        [items[i]["spk"][1] for i in rows], jnp.int32
+                    )
+                vol = None
+                if self.vol_embedding:
+                    vol = jnp.asarray(
+                        np.stack([pad_t(items[i]["vol"][0]) for i in rows])
+                    )
+                lengths = jnp.asarray(
+                    [items[i]["n_frames"] for i in rows], jnp.int32
+                )
+                fn = self._jit_for_bucket(bucket)
+                audio, _f0_out = fn(
+                    self.params, stack("c"), stack("f0"), stack("uv"), spk, vol,
+                    lengths, noice_scale, bool(auto_predict_f0),
+                    jax.random.PRNGKey(seed), sample_noise,
+                )
+                audio = np.asarray(audio)
+                for row, i in enumerate(sub):
+                    n = items[i]["n_frames"]
+                    out[i] = audio[row, : n * self.hop_size, 0]
+        return out
 
     def infer(
         self,
@@ -238,86 +341,65 @@ class Svc:
         enhancer_adaptive_key: float = 0,
     ):
         """Convert one clip; returns (audio, n_samples, n_frames)."""
-        if sr is not None and sr != self.target_sample:
-            wav = resample(wav, sr, self.target_sample)
-        wav = np.asarray(wav, dtype=np.float32)
-
-        c, f0, uv = self.get_unit_f0(
-            wav, tran, cluster_infer_ratio, speaker, f0_filter, f0_predictor, cr_threshold
+        item = self._prepare_chunk(
+            speaker, tran, wav, sr, cluster_infer_ratio, f0_filter,
+            f0_predictor, cr_threshold, spk_mix_frames,
         )
-        n_frames = len(f0)
-
-        vol = None
-        if self.vol_embedding or self.only_diffusion:
-            vol = np.asarray(
-                dsp_stft.energy(jnp.asarray(wav[None, : n_frames * self.hop_size]), self.hop_size)
-            )
+        n_frames = item["n_frames"]
 
         if self.only_diffusion:
-            # infer_tool.py:300-328 only_diffusion branch: diffuse from the
-            # INPUT audio's mel (full k_step) and vocode — no VITS pass.
-            spk_id = self.spk2id.get(speaker)
-            if spk_id is None and isinstance(speaker, int):
-                spk_id = speaker
-            audio = self.diffusion.refine(
-                self, wav[: n_frames * self.hop_size], c, f0,
-                vol if not self.vol_embedding else vol,
-                np.asarray([int(spk_id or 0)]), k_step, second_encoding, seed,
+            audio = self.infer_only_diffusion(
+                item, k_step, second_encoding, loudness_envelope_adjustment, seed
             )
-            if loudness_envelope_adjustment != 1:
-                audio = change_rms(
-                    wav, self.target_sample, audio, self.target_sample,
-                    loudness_envelope_adjustment,
-                )
             return audio, audio.shape[-1], n_frames
 
-        bucket = next((b for b in BUCKETS if b >= n_frames), n_frames)
-
-        def pad_t(x):
-            return np.pad(x, [(0, bucket - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
-
-        if spk_mix_frames is not None:
-            # per-frame speaker-mix weights [T, S] (models.py:505-509 path)
-            spk = jnp.asarray(pad_t(np.asarray(spk_mix_frames[:n_frames], np.float32))[None])
-        else:
-            spk_id = self.spk2id.get(speaker)
-            if spk_id is None and isinstance(speaker, int):
-                spk_id = speaker
-            if spk_id is None:
-                raise RuntimeError("The name you entered is not in the speaker list!")
-            spk = jnp.asarray([int(spk_id)], jnp.int32)
-
-        fn = self._jit_for_bucket(bucket)
-        audio, _f0_out = fn(
-            self.params,
-            jnp.asarray(pad_t(c)[None]),
-            jnp.asarray(pad_t(f0.astype(np.float32))[None]),
-            jnp.asarray(pad_t(uv.astype(np.float32))[None]),
-            spk,
-            jnp.asarray(pad_t(vol[0])[None]) if vol is not None else None,
-            jnp.asarray([n_frames], jnp.int32),
-            noice_scale,
-            bool(auto_predict_f0),
-            jax.random.PRNGKey(seed),
+        audio = self._run_synth_batch([item], noice_scale, auto_predict_f0, seed)[0]
+        audio = self._post_chunk(
+            item, audio, k_step, second_encoding,
+            loudness_envelope_adjustment, enhancer_adaptive_key,
         )
-        audio = np.asarray(audio)[0, : n_frames * self.hop_size, 0]
+        return audio, audio.shape[-1], n_frames
 
-        if self.diffusion is not None:
-            audio = self.diffusion.refine(
-                self, audio, c, f0, vol, spk, k_step, second_encoding
-            )
-        elif self.enhancer is not None:
-            audio, _ = self.enhancer.enhance(
-                audio, self.target_sample, f0[:n_frames], self.hop_size,
-                adaptive_key=enhancer_adaptive_key,
-            )
-
+    def infer_only_diffusion(self, item, k_step, second_encoding,
+                             loudness_envelope_adjustment, seed: int = 52468):
+        """infer_tool.py:300-328 only_diffusion branch: diffuse from the
+        INPUT audio's mel (full k_step) and vocode — no VITS pass."""
+        wav, n_frames = item["wav"], item["n_frames"]
+        spk = item["spk_array"]
+        if item["spk"][0] == "id":
+            spk = np.asarray([item["spk"][1]])
+        audio = self.diffusion.refine(
+            self, wav[: n_frames * self.hop_size], item["c"], item["f0"],
+            item["vol"],  # input-wav volume either way (infer_tool.py:296,308)
+            spk, k_step, second_encoding, seed,
+        )
         if loudness_envelope_adjustment != 1:
             audio = change_rms(
                 wav, self.target_sample, audio, self.target_sample,
                 loudness_envelope_adjustment,
             )
-        return audio, audio.shape[-1], n_frames
+        return audio
+
+    def _post_chunk(self, item, audio, k_step, second_encoding,
+                    loudness_envelope_adjustment, enhancer_adaptive_key):
+        """Per-chunk post stages: shallow diffusion / enhancer / loudness
+        envelope (infer_tool.py:299-337)."""
+        if self.diffusion is not None:
+            audio = self.diffusion.refine(
+                self, audio, item["c"], item["f0"], item["vol"],
+                item["spk_array"], k_step, second_encoding,
+            )
+        elif self.enhancer is not None:
+            audio, _ = self.enhancer.enhance(
+                audio, self.target_sample, item["f0"][: item["n_frames"]],
+                self.hop_size, adaptive_key=enhancer_adaptive_key,
+            )
+        if loudness_envelope_adjustment != 1:
+            audio = change_rms(
+                item["wav"], self.target_sample, audio, self.target_sample,
+                loudness_envelope_adjustment,
+            )
+        return audio
 
     # ------------------------------------------------------------------
     def slice_inference(
@@ -371,12 +453,17 @@ class Svc:
         lg_size_c_r = lg_size - lg_size_r - lg_size_c_l
         lg = np.linspace(0, 1, lg_size_r) if lg_size else None
 
-        audio: list[float] = []
+        # Pass 1 — host front end per chunk (slicing, padding, f0/units).
+        # Pass 2 — one batched device dispatch per (bucket, speaker-kind)
+        # group instead of the reference's batch-1 chunk loop
+        # (infer_tool.py:460-482); measured full-song win in bench_details.
+        plan: list[tuple] = []  # ("sil", length) | ("chunk", item_idx, per_length, k)
+        items: list[dict] = []
         global_frame = 0
         for slice_tag, data in audio_data:
             length = int(np.ceil(len(data) / sr * self.target_sample))
             if slice_tag:
-                audio.extend(list(np.zeros(length)))
+                plan.append(("sil", length))
                 global_frame += length // self.hop_size
                 continue
             datas = list(split_list_by_n(data, per_size, lg_size)) if per_size else [data]
@@ -396,50 +483,64 @@ class Svc:
                         len(mix_weights) - 1,
                     )
                     chunk_mix = mix_weights[idx]
-                out_audio, _, out_frames = self.infer(
-                    None if mix_weights is not None else spk,
-                    tran,
-                    dat.astype(np.float32),
-                    sr=sr,
-                    cluster_infer_ratio=cluster_infer_ratio,
-                    auto_predict_f0=auto_predict_f0,
-                    noice_scale=noice_scale,
-                    f0_predictor=f0_predictor,
-                    cr_threshold=cr_threshold,
-                    k_step=k_step,
-                    second_encoding=second_encoding,
-                    loudness_envelope_adjustment=loudness_envelope_adjustment,
-                    spk_mix_frames=chunk_mix,
-                    enhancer_adaptive_key=enhancer_adaptive_key,
+                item = self._prepare_chunk(
+                    None if mix_weights is not None else spk, tran,
+                    dat.astype(np.float32), sr, cluster_infer_ratio, False,
+                    f0_predictor, cr_threshold, spk_mix_frames=chunk_mix,
                 )
-                global_frame += out_frames
-                out_pad = int(self.target_sample * pad_seconds)
-                _audio = np.asarray(out_audio)[out_pad:-out_pad]
-                _audio = pad_array(_audio, per_length)
-                if lg_size and k != 0:
-                    lg1 = (
-                        np.array(audio[-(lg_size_r + lg_size_c_r) : -lg_size_c_r])
-                        if lgr_num != 1
-                        else np.array(audio[-lg_size:])
-                    )
-                    lg2 = (
-                        _audio[lg_size_c_l : lg_size_c_l + lg_size_r]
-                        if lgr_num != 1
-                        else _audio[:lg_size]
-                    )
-                    lg_pre = lg1 * (1 - lg) + lg2 * lg
-                    audio = (
-                        audio[: -(lg_size_r + lg_size_c_r)]
-                        if lgr_num != 1
-                        else audio[:-lg_size]
-                    )
-                    audio.extend(lg_pre)
-                    _audio = (
-                        _audio[lg_size_c_l + lg_size_r :]
-                        if lgr_num != 1
-                        else _audio[lg_size:]
-                    )
-                audio.extend(list(_audio))
+                global_frame += item["n_frames"]
+                plan.append(("chunk", len(items), per_length, k))
+                items.append(item)
+
+        if self.only_diffusion:
+            outs = [
+                self.infer_only_diffusion(it, k_step, second_encoding,
+                                          loudness_envelope_adjustment)
+                for it in items
+            ]
+        else:
+            outs = self._run_synth_batch(items, noice_scale, auto_predict_f0, 52468)
+            outs = [
+                self._post_chunk(it, out, k_step, second_encoding,
+                                 loudness_envelope_adjustment,
+                                 enhancer_adaptive_key)
+                for it, out in zip(items, outs)
+            ]
+
+        audio: list[float] = []
+        for entry in plan:
+            if entry[0] == "sil":
+                audio.extend(list(np.zeros(entry[1])))
+                continue
+            _, item_idx, per_length, k = entry
+            out_audio = outs[item_idx]
+            out_pad = int(self.target_sample * pad_seconds)
+            _audio = np.asarray(out_audio)[out_pad:-out_pad]
+            _audio = pad_array(_audio, per_length)
+            if lg_size and k != 0:
+                lg1 = (
+                    np.array(audio[-(lg_size_r + lg_size_c_r) : -lg_size_c_r])
+                    if lgr_num != 1
+                    else np.array(audio[-lg_size:])
+                )
+                lg2 = (
+                    _audio[lg_size_c_l : lg_size_c_l + lg_size_r]
+                    if lgr_num != 1
+                    else _audio[:lg_size]
+                )
+                lg_pre = lg1 * (1 - lg) + lg2 * lg
+                audio = (
+                    audio[: -(lg_size_r + lg_size_c_r)]
+                    if lgr_num != 1
+                    else audio[:-lg_size]
+                )
+                audio.extend(lg_pre)
+                _audio = (
+                    _audio[lg_size_c_l + lg_size_r :]
+                    if lgr_num != 1
+                    else _audio[lg_size:]
+                )
+            audio.extend(list(_audio))
         return np.array(audio, dtype=np.float32)
 
 

@@ -6,8 +6,9 @@ per-layer feature maps for the feature-matching loss.
 
 Waveforms are [B, T, 1]. The period discriminators fold time into
 [B, T/p, p, 1] (NHWC) and convolve with (k, 1) kernels — each period conv is
-a batched matmul on the MXU. use_spectral_norm=True is not implemented
-(the reference default config never enables it, config_template.json:59).
+a batched matmul on the MXU. use_spectral_norm=True swaps weight norm for
+torch-style spectral norm with power-iteration state in the 'spectral'
+variable collection (models.py:168,203 norm_f selection).
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    use_spectral_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -46,7 +48,8 @@ class DiscriminatorP(nn.Module):
                 kernel_size=(self.kernel_size, 1),
                 strides=(self.stride, 1),
                 padding=(pad, 0),
-                weight_norm=True,
+                weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"conv_{i}",
@@ -58,7 +61,8 @@ class DiscriminatorP(nn.Module):
             kernel_size=(self.kernel_size, 1),
             strides=(1, 1),
             padding=(pad, 0),
-            weight_norm=True,
+            weight_norm=not self.use_spectral_norm,
+            spectral_norm=self.use_spectral_norm,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv_4",
@@ -69,7 +73,8 @@ class DiscriminatorP(nn.Module):
             features=1,
             kernel_size=(3, 1),
             padding=(1, 0),
-            weight_norm=True,
+            weight_norm=not self.use_spectral_norm,
+            spectral_norm=self.use_spectral_norm,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv_post",
@@ -79,6 +84,7 @@ class DiscriminatorP(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
+    use_spectral_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -102,7 +108,8 @@ class DiscriminatorS(nn.Module):
                 stride=s,
                 groups=grp,
                 padding=pad,
-                weight_norm=True,
+                weight_norm=not self.use_spectral_norm,
+                spectral_norm=self.use_spectral_norm,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"conv_{i}",
@@ -113,7 +120,8 @@ class DiscriminatorS(nn.Module):
             features=1,
             kernel_size=3,
             padding=1,
-            weight_norm=True,
+            weight_norm=not self.use_spectral_norm,
+            spectral_norm=self.use_spectral_norm,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv_post",
@@ -124,6 +132,7 @@ class DiscriminatorS(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: tuple[int, ...] = PERIODS
+    use_spectral_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -131,10 +140,14 @@ class MultiPeriodDiscriminator(nn.Module):
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         """Returns (real_logits, fake_logits, real_fmaps, fake_fmaps)."""
         discs = [
-            DiscriminatorS(dtype=self.dtype, param_dtype=self.param_dtype, name="disc_s")
+            DiscriminatorS(
+                use_spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="disc_s",
+            )
         ] + [
             DiscriminatorP(
-                period=p, dtype=self.dtype, param_dtype=self.param_dtype, name=f"disc_p{p}"
+                period=p, use_spectral_norm=self.use_spectral_norm,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"disc_p{p}",
             )
             for p in self.periods
         ]

@@ -37,16 +37,16 @@ def apply_proximal_init(params: dict) -> dict:
     return params
 
 
-def build_synthesizer(hps: HParams, dtype=jnp.float32) -> Synthesizer:
-    return Synthesizer(dtype=dtype, **synthesizer_kwargs(hps))
+def build_synthesizer(hps: HParams, dtype=jnp.float32, fused_tail: bool = False) -> Synthesizer:
+    """fused_tail runs the vocoder resblock tail as Pallas kernels —
+    inference only (no VJP); training keeps the folded XLA formulation."""
+    return Synthesizer(dtype=dtype, fused_tail=fused_tail, **synthesizer_kwargs(hps))
 
 
 def build_discriminator(hps: HParams, dtype=jnp.float32) -> MultiPeriodDiscriminator:
-    if hps.model.use_spectral_norm:
-        raise NotImplementedError(
-            "use_spectral_norm=True is not supported (reference default is False)"
-        )
-    return MultiPeriodDiscriminator(dtype=dtype)
+    return MultiPeriodDiscriminator(
+        use_spectral_norm=bool(hps.model.use_spectral_norm), dtype=dtype
+    )
 
 
 def init_synthesizer_params(

@@ -163,11 +163,28 @@ class SourceModuleHnNSF(nn.Module):
         return har_source, uv
 
 
+def _stage_fold(ch: int, p_prev: int, u: int, cap: int = 8) -> int:
+    """Fold P for a stage: power of two, <= cap, P*ch reaching 128 lanes,
+    and P | p_prev*u so folded row counts stay integral for any length."""
+    p = 1
+    while p < cap and p * ch < 128 and (p_prev * u) % (p * 2) == 0:
+        p *= 2
+    return p
+
+
 class Generator(nn.Module):
     """NSF-HiFiGAN decoder (vdecoder/hifigan/models.py:323-394).
 
     latent [B, T_frames, C] + f0 [B, T_frames] + speaker g [B, 1, gin]
     -> waveform [B, T_frames * prod(upsample_rates), 1].
+
+    TPU execution: the upsample/resblock tail runs as a *folded pipeline*
+    (ops/folded.py) — activations live as [B, T/P, P*C] with P chosen per
+    stage so every conv is a full-width MXU matmul and no lane-padded
+    small-C tensor is ever materialized. `fused_tail` additionally runs
+    each stage's resblock trio as one Pallas kernel that keeps the whole
+    chain in VMEM (inference only; training uses the differentiable folded
+    XLA formulation).
     """
 
     sampling_rate: int = 44100
@@ -180,6 +197,7 @@ class Generator(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4, 4)
     gin_channels: int = 768
     separable: bool = False
+    fused_tail: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -221,8 +239,16 @@ class Generator(nn.Module):
             )(g)
 
         resblock_cls = ResBlock1 if self.resblock == "1" else ResBlock2
+        b = x.shape[0]
+        t_total = x.shape[1] * upp
+        # Folded pipeline: x is viewed as [B, Q, P*C] with per-stage fold P.
+        # The separable (DSConv) variant keeps XLA convs (fold stays 1 and
+        # folded calls reduce to plain layouts only where legal).
+        foldable = not self.separable
+        p_prev = 1
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             ch = self.upsample_initial_channel // (2 ** (i + 1))
+            fold = _stage_fold(ch, p_prev, u) if foldable else 1
             x = leaky_relu(x)
             x = ConvTranspose1d(
                 features=ch,
@@ -234,11 +260,11 @@ class Generator(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"up_{i}",
-            )(x)
+            )(x, folded=(p_prev, fold) if foldable else None)
             # Downsample the full-rate source to this stage's frame rate.
             if i + 1 < len(self.upsample_rates):
                 stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
-                x_source = Conv1d(
+                noise_conv = Conv1d(
                     features=ch,
                     kernel_size=stride_f0 * 2,
                     stride=stride_f0,
@@ -246,31 +272,65 @@ class Generator(nn.Module):
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"noise_conv_{i}",
-                )(har_source)
+                )
             else:
-                x_source = Conv1d(
+                stride_f0 = 1
+                noise_conv = Conv1d(
                     features=ch,
                     kernel_size=1,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"noise_conv_{i}",
-                )(har_source)
+                )
+            if foldable:
+                p_h = fold * stride_f0
+                har_f = har_source.reshape(b, t_total // p_h, p_h)
+                x_source = noise_conv(har_f, folded=(p_h, fold))
+            else:
+                x_source = noise_conv(har_source)
             x = x + x_source
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                rb = resblock_cls(
+            rb_mods = [
+                resblock_cls(
                     channels=ch,
                     kernel_size=rk,
                     dilations=tuple(rd),
                     separable=self.separable,
+                    fold_p=fold,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"resblock_{i}_{j}",
-                )(x)
-                xs = rb if xs is None else xs + rb
-            x = xs / num_kernels
+                )
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+                )
+            ]
+            use_pallas = (
+                self.fused_tail
+                and foldable
+                and self.resblock == "1"
+                and fold * ch == 128
+            )
+            if use_pallas:
+                from ..ops.fused_stage import fused_resblock_trio_folded
+
+                pairs = []  # (kernel, bias) in chain order across the trio
+                for rb_mod in rb_mods:
+                    pairs.extend(rb_mod(x, folded=True, return_weights=True))
+                x = fused_resblock_trio_folded(
+                    x,
+                    [kb[0] for kb in pairs],
+                    [kb[1] for kb in pairs],
+                    fold,
+                    tuple(self.resblock_kernel_sizes),
+                    tuple(map(tuple, self.resblock_dilation_sizes)),
+                )
+            else:
+                xs = None
+                for rb_mod in rb_mods:
+                    rb = rb_mod(x, folded=foldable)
+                    xs = rb if xs is None else xs + rb
+                x = xs / num_kernels
+            p_prev = fold
 
         x = leaky_relu(x, 0.01)  # torch default F.leaky_relu slope
         x = Conv1d(
@@ -282,5 +342,7 @@ class Generator(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv_post",
-        )(x)
+        )(x, folded=(p_prev, p_prev) if foldable else None)
+        if foldable:
+            x = x.reshape(b, t_total, 1)
         return jnp.tanh(x)

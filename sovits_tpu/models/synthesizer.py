@@ -242,6 +242,7 @@ class Synthesizer(nn.Module):
     use_transformer_flow: bool = False
     n_layers_q: int = 16  # posterior WN depth (reference hardcodes 16, models.py:437)
     vocoder_name: str = "nsf-hifigan"  # or "nsf-snake-hifigan" (models.py:426-435)
+    fused_tail: bool = False  # Pallas fused vocoder tail (inference engines)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -333,7 +334,11 @@ class Synthesizer(nn.Module):
             from .snake_hifigan import SnakeGenerator
 
             dec_cls = SnakeGenerator
-        dec_extra = {} if dec_cls is not Generator else {"separable": self.use_depthwise_conv}
+        dec_extra = (
+            {}
+            if dec_cls is not Generator
+            else {"separable": self.use_depthwise_conv, "fused_tail": self.fused_tail}
+        )
         self.dec = dec_cls(
             sampling_rate=self.sampling_rate,
             inter_channels=self.inter_channels,

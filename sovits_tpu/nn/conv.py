@@ -45,6 +45,38 @@ def _norm_except(v: jax.Array, axis: int) -> jax.Array:
     return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
 
 
+def _l2n(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    return x / (jnp.linalg.norm(x) + eps)
+
+
+def spectral_normalize(module: nn.Module, kernel: jax.Array, perm: tuple) -> jax.Array:
+    """torch spectral_norm semantics (models.py:165-252 use_spectral_norm).
+
+    One power iteration on the [out, -1] weight matrix per call when the
+    'spectral' collection is mutable (training); eval uses the stored u/v.
+    `perm` permutes the kernel into torch's (out, in, k...) order so the
+    stored v vector is layout-compatible with converted torch checkpoints.
+    """
+    w_mat = jnp.transpose(kernel, perm).reshape(kernel.shape[perm[0]], -1)
+    out, cols = w_mat.shape
+    u_var = module.variable(
+        "spectral", "u",
+        lambda: _l2n(jax.random.normal(module.make_rng("params"), (out,))),
+    )
+    v_var = module.variable(
+        "spectral", "v",
+        lambda: _l2n(jax.random.normal(module.make_rng("params"), (cols,))),
+    )
+    if module.is_mutable_collection("spectral") and not module.is_initializing():
+        v = _l2n(w_mat.T @ u_var.value)
+        u = _l2n(w_mat @ v)
+        u_var.value, v_var.value = u, v
+    else:
+        u, v = u_var.value, v_var.value
+    sigma = u @ (w_mat @ v)
+    return kernel / sigma
+
+
 class Conv1d(nn.Module):
     """Channels-last conv1d. kernel layout: [kw, in_ch // groups, out_ch].
 
@@ -61,12 +93,28 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     kernel_init: Callable = torch_conv_kernel_init
+    # fold_p > 1 lowers the conv as time-folded MXU matmuls (ops/folded.py)
+    # when legal (stride 1, groups 1, symmetric 'same' padding, T % P == 0).
+    # Use for small channel counts where XLA's conv starves the MXU.
+    fold_p: int = 1
+    spectral_norm: bool = False  # torch spectral_norm (power iteration)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+    def __call__(
+        self,
+        x: jax.Array,
+        folded: tuple[int, int] | None = None,
+        return_kernel: bool = False,
+    ) -> jax.Array:
+        """folded=(p_in, p_out): x is a folded [B, Q, p_in*Ci] view and a
+        folded [B, Q, p_out*Co] view is returned (ops/folded.py); p_in must
+        equal p_out*stride. return_kernel skips the conv and returns the
+        effective (kernel, bias) — used by the Pallas fused-stage engine to
+        reuse this module's params without changing the param tree.
+        """
+        in_ch = x.shape[-1] if folded is None else x.shape[-1] // folded[0]
         assert in_ch % self.groups == 0 and self.features % self.groups == 0
         kshape = (self.kernel_size, in_ch // self.groups, self.features)
         fan_in = self.kernel_size * in_ch // self.groups
@@ -82,14 +130,59 @@ class Conv1d(nn.Module):
                 self.param_dtype,
             )
             kernel = v * (g.reshape(1, 1, -1) / _norm_except(v, 2))
+        elif self.spectral_norm:
+            kernel = spectral_normalize(self, v, (2, 1, 0))
         else:
             kernel = v
+
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+        if return_kernel:
+            return kernel.astype(self.dtype), (
+                bias.astype(self.dtype) if bias is not None else None
+            )
 
         pad = (
             (self.padding, self.padding)
             if isinstance(self.padding, int)
             else tuple(self.padding)
         )
+        if folded is not None:
+            from ..ops.folded import folded_conv1d_f
+
+            p_in, p_out = folded
+            assert self.groups == 1
+            assert p_in == p_out * self.stride, (folded, self.stride)
+            assert pad[0] == pad[1]
+            return folded_conv1d_f(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                bias.astype(self.dtype) if bias is not None else None,
+                self.dilation,
+                p_out,
+                stride=self.stride,
+                pad=pad[0],
+            )
+        if (
+            self.fold_p > 1
+            and self.stride == 1
+            and self.groups == 1
+            and pad[0] == pad[1] == (self.kernel_size - 1) * self.dilation // 2
+        ):
+            from ..ops.folded import folded_conv1d
+
+            p = self.fold_p
+            while p > 1 and x.shape[1] % p:
+                p //= 2
+            if p > 1:
+                b = bias.astype(self.dtype) if bias is not None else None
+                return folded_conv1d(
+                    x.astype(self.dtype), kernel.astype(self.dtype), b,
+                    self.dilation, p,
+                )
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -99,11 +192,8 @@ class Conv1d(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups,
         )
-        if self.use_bias:
-            b = self.param(
-                "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
-            )
-            y = y + b.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
         return y
 
 
@@ -124,12 +214,20 @@ class ConvTranspose1d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     kernel_init: Callable = torch_conv_kernel_init
+    # fold_out > 1 lowers the transposed conv as folded MXU matmuls
+    # (ops/folded.py); must be a multiple of stride, used when the output
+    # channel count is small.
+    fold_out: int = 1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        in_ch = x.shape[-1]
+    def __call__(
+        self, x: jax.Array, folded: tuple[int, int] | None = None
+    ) -> jax.Array:
+        """folded=(p_in, p_out): folded [B, Q, p_in*Ci] -> folded
+        [B, Q*stride*p_in/p_out, p_out*Co] (ops/folded.py)."""
+        in_ch = x.shape[-1] if folded is None else x.shape[-1] // folded[0]
         kshape = (self.kernel_size, in_ch, self.features)
         # torch fan_in for ConvTranspose1d = out_ch * kernel (weight dim 1,2)
         fan_in = self.kernel_size * self.features
@@ -148,6 +246,33 @@ class ConvTranspose1d(nn.Module):
         else:
             kernel = v
 
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
+            )
+
+        if folded is not None:
+            from ..ops.folded import folded_conv_transpose1d_f
+
+            p_in, p_out = folded
+            return folded_conv_transpose1d_f(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                bias.astype(self.dtype) if bias is not None else None,
+                self.stride, self.padding, p_in, p_out,
+            )
+
+        if self.fold_out > 1 and self.fold_out % self.stride == 0:
+            p_in = self.fold_out // self.stride
+            if x.shape[1] % max(p_in, 1) == 0:
+                from ..ops.folded import folded_conv_transpose1d
+
+                return folded_conv_transpose1d(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    bias.astype(self.dtype) if bias is not None else None,
+                    self.stride, self.padding, self.fold_out,
+                )
+
         # conv-transpose(x, V) == conv(dilate(x, stride), flip_t(V)) with
         # padding (k-1-p); V is already [kw, in, out] == WIO after the flip.
         kernel = jnp.flip(kernel, axis=0)
@@ -160,11 +285,8 @@ class ConvTranspose1d(nn.Module):
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
-        if self.use_bias:
-            b = self.param(
-                "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
-            )
-            y = y + b.astype(self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
         return y
 
 
@@ -218,6 +340,7 @@ def make_conv1d(separable: bool, **kwargs):
     """Conv1dModel switch (modules/modules.py:16-20): plain or separable."""
     if separable and kwargs.get("kernel_size", 1) > 1:
         kwargs.pop("groups", None)
+        kwargs.pop("fold_p", None)  # separable path stays on XLA convs
         return SeparableConv1d(**kwargs)
     return Conv1d(**kwargs)
 
@@ -267,6 +390,7 @@ class Conv2d(nn.Module):
     padding: tuple[int, int] = (0, 0)
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False  # torch spectral_norm (power iteration)
     kernel_init: Callable = torch_conv_kernel_init
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -289,6 +413,8 @@ class Conv2d(nn.Module):
                 self.param_dtype,
             )
             kernel = v * (g.reshape(1, 1, 1, -1) / _norm_except(v, 3))
+        elif self.spectral_norm:
+            kernel = spectral_normalize(self, v, (3, 2, 0, 1))
         else:
             kernel = v
 

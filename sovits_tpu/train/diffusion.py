@@ -129,7 +129,8 @@ class DiffusionDataset:
     Random `duration`-second crops padded to fixed frames.
     """
 
-    def __init__(self, filelist: str, args: HParams, spk_map: dict | None = None):
+    def __init__(self, filelist: str, args: HParams, spk_map: dict | None = None,
+                 cache_all_data: bool | None = None):
         self.paths = load_filelist(filelist)
         self.args = args
         self.hop = args.data.block_size
@@ -138,6 +139,26 @@ class DiffusionDataset:
         )
         self.spk_map = spk_map or dict(args.spk.items() if args.spk else [])
         self.use_aug = bool(args.model.use_pitch_aug)
+        # full-RAM cache (data_loaders.py:127-205, config cache_all_data)
+        if cache_all_data is None:
+            cache_all_data = bool(args.train.cache_all_data)
+        self._cache: dict[str, tuple] | None = {} if cache_all_data else None
+        if self._cache is not None:
+            for p in self.paths:
+                self._cache[p] = self._load(p)
+
+    def _load(self, path: str) -> tuple:
+        f0, _uv = np.load(path + ".f0.npy", allow_pickle=True)
+        f0 = np.asarray(f0, np.float32)
+        vol = np.load(path + ".vol.npy").astype(np.float32)
+        mel = np.load(path + ".mel.npy").astype(np.float32)  # [T, M]
+        units = np.load(path + ".soft.npy").astype(np.float32).T  # [T_u, H]
+        aug = None
+        if self.use_aug and Path(path + ".aug_mel.npy").exists():
+            aug_mel, keyshift = np.load(path + ".aug_mel.npy", allow_pickle=True)
+            aug_vol = np.load(path + ".aug_vol.npy").astype(np.float32)
+            aug = (np.asarray(aug_mel, np.float32), float(keyshift), aug_vol)
+        return f0, vol, mel, units, aug
 
     def __len__(self):
         return len(self.paths)
@@ -146,18 +167,14 @@ class DiffusionDataset:
         from ..dsp.audio import repeat_expand
 
         path = self.paths[index]
-        f0, _uv = np.load(path + ".f0.npy", allow_pickle=True)
-        f0 = np.asarray(f0, np.float32)
-        vol = np.load(path + ".vol.npy").astype(np.float32)
-        mel = np.load(path + ".mel.npy").astype(np.float32)  # [T, M]
-        units = np.load(path + ".soft.npy").astype(np.float32).T  # [T_u, H]
+        loaded = self._cache[path] if self._cache is not None else self._load(path)
+        f0, vol, mel, units, aug = loaded
         aug_shift = 0.0
-        if self.use_aug and rng.random() < 0.5 and Path(path + ".aug_mel.npy").exists():
-            aug_mel, keyshift = np.load(path + ".aug_mel.npy", allow_pickle=True)
-            mel = np.asarray(aug_mel, np.float32)
-            vol = np.load(path + ".aug_vol.npy").astype(np.float32)
-            f0 = f0 * 2 ** (float(keyshift) / 12.0)
-            aug_shift = float(keyshift)
+        if aug is not None and rng.random() < 0.5:
+            aug_mel, keyshift, aug_vol = aug
+            mel, vol = aug_mel, aug_vol
+            f0 = f0 * 2 ** (keyshift / 12.0)
+            aug_shift = keyshift
 
         t = min(len(f0), mel.shape[0], len(vol))
         if units.shape[0] != t:
@@ -191,7 +208,16 @@ class DiffusionDataset:
 
 
 def train_diffusion(args: HParams, expdir: str | Path | None = None,
-                    max_steps: int | None = None, vocoder_dim: int = 128):
+                    max_steps: int | None = None, vocoder_dim: int = 128,
+                    resume: bool = True):
+    """Diffusion training with the reference solver's operational surface
+    (diffusion/solver.py:93-199): resume from the latest checkpoint
+    (optimizer state included, logger/utils.py:102-127), validation loss +
+    RTF at interval_val (solver.py:13-90), interval_force_save milestones
+    that retention never deletes (logger/saver.py:102-143), and the
+    cache_all_data RAM cache (data_loaders.py:127-205)."""
+    import orbax.checkpoint as ocp
+
     expdir = Path(expdir or args.env.expdir)
     expdir.mkdir(parents=True, exist_ok=True)
     mlog = MetricsLogger(expdir)
@@ -204,6 +230,12 @@ def train_diffusion(args: HParams, expdir: str | Path | None = None,
 
     model = build_unit2mel(args, vocoder_dim)
     dataset = DiffusionDataset(args.data.training_files, args)
+    val_files = args.data.validation_files
+    val_dataset = (
+        DiffusionDataset(val_files, args, cache_all_data=False)
+        if val_files and Path(val_files).exists()
+        else None
+    )
 
     rng = np.random.default_rng(1234)
     ex = dataset.example(0, rng)
@@ -226,6 +258,31 @@ def train_diffusion(args: HParams, expdir: str | Path | None = None,
     tx = optax.adamw(schedule, weight_decay=args.train.weight_decay or 0.0)
     opt_state = tx.init(params)
 
+    interval_val = args.train.interval_val or 2000
+    force_save = args.train.interval_force_save or 0
+    mgr = ocp.CheckpointManager(
+        (expdir / "ckpt").absolute(),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=int(args.train.keep_ckpts or 3),
+            # milestones are never deleted (saver.py interval_force_save)
+            keep_period=force_save if force_save > 0 else None,
+            create=True,
+        ),
+    )
+    step = 0
+    if resume and mgr.latest_step() is not None:
+        step = mgr.latest_step()
+        template = {"params": jax.tree.map(np.asarray, jax.device_get(params)),
+                    "opt_state": jax.tree.map(np.asarray, jax.device_get(opt_state))}
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        params = jax.tree.unflatten(
+            jax.tree.structure(params), jax.tree.leaves(restored["params"])
+        )
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(opt_state), jax.tree.leaves(restored["opt_state"])
+        )
+        logger.info("resumed diffusion training from step %d", step)
+
     @jax.jit
     def step_fn(params, opt_state, batch, key):
         def loss_fn(p):
@@ -246,10 +303,43 @@ def train_diffusion(args: HParams, expdir: str | Path | None = None,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    @jax.jit
+    def val_loss_fn(params, batch):
+        return model.apply(
+            {"params": params},
+            batch["units"], batch["f0"], batch["volume"],
+            spk_id=batch["spk"], aug_shift=batch["aug_shift"],
+            gt_spec=batch["mel"], infer=False,
+            rng=jax.random.PRNGKey(0),  # fixed noise: comparable val losses
+        )
+
+    def validate(step, params_host):
+        if val_dataset is None:
+            return
+        vrng = np.random.default_rng(0)
+        losses = [
+            float(val_loss_fn(params_host, {
+                k: jnp.asarray(v[None]) if np.ndim(v) else jnp.asarray([v])
+                for k, v in val_dataset.example(i, vrng).items()
+            }))
+            for i in range(min(len(val_dataset), 8))
+        ]
+        rtf = measure_rtf(model, {"params": params_host}, val_dataset, args,
+                          n_clips=1)
+        mlog.scalars(step, {"loss/val_diffusion": float(np.mean(losses)),
+                            "val_rtf": rtf})
+
+    def save(step):
+        payload = {"params": jax.tree.map(np.asarray, jax.device_get(params)),
+                   "opt_state": jax.tree.map(np.asarray, jax.device_get(opt_state))}
+        mgr.save(step, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+        _save(expdir, step, params, opt_state)
+
     params = replicate_tree(params, mesh)
     opt_state = replicate_tree(opt_state, mesh)
 
-    step = 0
+    start_step = step
     key = jax.random.PRNGKey(1234)
     t0 = time.time()
     order = rng.permutation(len(dataset))
@@ -273,17 +363,23 @@ def train_diffusion(args: HParams, expdir: str | Path | None = None,
         if not np.isfinite(loss_val):
             raise RuntimeError(f"NaN/Inf loss at step {step} — aborting (solver.py:136)")
         if step % (args.train.interval_log or 10) == 0:
+            # rate over *this run's* steps only (correct after resume)
+            rate = (step - start_step) / max(time.time() - t0, 1e-9)
             mlog.scalars(step, {"loss/diffusion": loss_val,
-                                "steps_per_sec": step / max(time.time() - t0, 1e-9)})
-        if step % (args.train.interval_val or 2000) == 0 or (
-            max_steps is not None and step >= max_steps
-        ):
-            _save(expdir, step, params, opt_state)
+                                "steps_per_sec": rate})
+        at_end = max_steps is not None and step >= max_steps
+        if step % interval_val == 0 or at_end:
+            save(step)
+            validate(step, jax.device_get(params))
+        elif force_save and step % force_save == 0:
+            save(step)
     mlog.close()
+    mgr.close()
     return params
 
 
-def _save(expdir: Path, step: int, params, opt_state):
+def _save(expdir: Path, step: int, params, opt_state=None):
+    """Portable release artifact (Svc/DiffusionRefiner loads this .npz)."""
     from ..cli.tools import flatten_params
 
     flat = flatten_params(jax.device_get(params))

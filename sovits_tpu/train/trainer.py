@@ -59,6 +59,21 @@ class MetricsLogger:
         if self.tb:
             self.tb.add_audio(tag, wav.reshape(1, -1), step, sample_rate=sr)
 
+    def image(self, step: int, tag: str, matrix: np.ndarray):
+        """Spectrogram/f0-curve image (utils.py:227-235 plot_spectrogram_to_numpy
+        equivalent without matplotlib): [F, T] matrix -> viridis-ish RGB."""
+        if not self.tb:
+            return
+        m = np.asarray(matrix, np.float32)
+        lo, hi = float(m.min()), float(m.max())
+        norm = (m - lo) / (hi - lo + 1e-8)
+        # simple 3-stop colormap (dark blue -> teal -> yellow)
+        r = np.clip(norm * 2 - 1, 0, 1)
+        g = np.clip(norm * 1.5, 0, 1) * 0.9
+        b = np.clip(1 - norm, 0.1, 1)
+        img = np.stack([r, g, b], axis=0)  # [3, F, T]
+        self.tb.add_image(tag, img[:, ::-1], step)  # low freqs at the bottom
+
     def close(self):
         self.jsonl.close()
         if self.tb:
@@ -148,6 +163,7 @@ def train(hps, model_dir: str | Path, max_steps: int | None = None, mesh=None):
     steps_per_epoch = max(len(dataset) // batch_size, 1)
 
     step = int(state.step)
+    start_step = step  # rate accounting must ignore pre-resume steps
     t_start = time.time()
     for epoch in range(start_epoch, (hps.train.epochs or 1) + 1):
         state = set_learning_rate(state, epoch_lr(hps, epoch))
@@ -161,7 +177,9 @@ def train(hps, model_dir: str | Path, max_steps: int | None = None, mesh=None):
             if step % hps.train.log_interval == 0:
                 vals = {k: float(v) for k, v in metrics.items()}
                 vals["learning_rate"] = epoch_lr(hps, epoch)
-                vals["steps_per_sec"] = step / max(time.time() - t_start, 1e-9)
+                vals["steps_per_sec"] = (step - start_step) / max(
+                    time.time() - t_start, 1e-9
+                )
                 mlog.scalars(step, vals)
                 logger.info("step %d: %s", step, {k: round(v, 4) for k, v in vals.items()})
 

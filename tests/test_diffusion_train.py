@@ -1,5 +1,7 @@
 """Diffusion trainer + refiner integration tests (tiny shapes, CPU mesh)."""
 
+from pathlib import Path
+
 import numpy as np
 import yaml
 
@@ -192,3 +194,43 @@ def test_only_diffusion_end_to_end(tmp_path):
     audio, n_samples, n_frames = svc.infer("spk0", 0, wav, sr=sr, f0_predictor="yin", k_step=20)
     assert np.isfinite(audio).all()
     assert n_frames == len(wav) // 64
+
+
+def test_diffusion_trainer_resume_and_val(tmp_path):
+    """Resume restores params+opt_state and continues the step count
+    (logger/utils.py:102-127 semantics); val loss + RTF are logged."""
+    import json
+
+    args = _tiny_diff_config(tmp_path)
+    _write_diff_dataset(tmp_path / "data", frames=24, hop=64, mels=16, units_dim=8)
+
+    train_diffusion(args, max_steps=4, vocoder_dim=16)
+    assert (tmp_path / "exp" / "model_4.npz").exists()
+    assert (tmp_path / "exp" / "ckpt").exists()
+
+    # resume: runs only steps 5..6
+    train_diffusion(args, max_steps=6, vocoder_dim=16)
+    assert (tmp_path / "exp" / "model_6.npz").exists()
+
+    metrics = [json.loads(line) for line in
+               (tmp_path / "exp" / "metrics.jsonl").read_text().splitlines()]
+    keys = {k for m in metrics for k in m}
+    assert "loss/val_diffusion" in keys and "val_rtf" in keys
+    # steps_per_sec must reflect this run's steps, not cumulative/elapsed
+    rates = [m["steps_per_sec"] for m in metrics if "steps_per_sec" in m]
+    assert all(r > 0 for r in rates)
+
+
+def test_diffusion_dataset_ram_cache(tmp_path):
+    args = _tiny_diff_config(tmp_path)
+    paths = _write_diff_dataset(tmp_path / "data", frames=24, hop=64, mels=16, units_dim=8)
+    ds = DiffusionDataset(args.data.training_files, args, cache_all_data=True)
+    assert ds._cache is not None and len(ds._cache) == len(paths)
+    ex = ds.example(0, np.random.default_rng(0))
+    # delete the files: cached dataset must still serve examples
+    for p in paths:
+        for suffix in (".f0.npy", ".vol.npy", ".mel.npy", ".soft.npy"):
+            (tmp_path / "data" / "spk0" / (Path(p).name + suffix)).unlink()
+    from pathlib import Path as _P  # noqa
+    ex2 = ds.example(0, np.random.default_rng(0))
+    np.testing.assert_array_equal(ex["units"], ex2["units"])

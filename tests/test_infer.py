@@ -105,3 +105,69 @@ def test_svc_spk_mix_frames(svc):
         None, 0, wav, sr=SR, f0_predictor="yin", spk_mix_frames=mix
     )
     assert np.isfinite(audio).all()
+
+
+def test_crossfade_seam_is_linear_blend():
+    from sovits_tpu.infer.svc import crossfade
+
+    a = np.ones(100, np.float32)
+    b = np.zeros(100, np.float32) + 3.0
+    out = crossfade(a, b, 20)
+    assert out.shape == (180,)
+    np.testing.assert_allclose(out[:80], 1.0)
+    np.testing.assert_allclose(out[100:], 3.0)
+    seam = out[80:100]
+    # linear ramp from 1 -> 3, monotone, no discontinuity at either end
+    assert np.all(np.diff(seam) >= 0)
+    np.testing.assert_allclose(seam[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(seam[-1], 3.0, atol=1e-6)
+
+
+def test_realtime_vc_streaming(svc):
+    """Chunked tone -> continuous output stream (infer_tool.py:498-546):
+    every chunk returns chunk_len samples and the crossfaded seams stay
+    bounded relative to the signal's own dynamics."""
+    from sovits_tpu.infer.svc import RealTimeVC
+
+    sr = svc.target_sample
+    chunk_len, pre_len = 2048, 512
+    rtvc = RealTimeVC(chunk_len=chunk_len, pre_len=pre_len)
+
+    t = np.arange(sr * 2) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    outs = []
+    for i in range(3):
+        chunk = wav[i * chunk_len : (i + 1) * chunk_len]
+        out = rtvc.process(svc, "spk0", 0, chunk, sr=sr, f0_predictor="yin")
+        assert out.shape == (chunk_len,)
+        assert np.isfinite(out).all()
+        outs.append(out)
+    stream = np.concatenate(outs)
+    # crossfade keeps the stream's seam steps within the clip's own
+    # sample-to-sample dynamics (no hard discontinuity at chunk joins)
+    step = np.abs(np.diff(stream))
+    seam_steps = step[[chunk_len - 1, 2 * chunk_len - 1]]
+    assert (seam_steps <= max(step.max() * 0.9, 1e-3) + 1e-6).all()
+    # streaming state advanced: later chunks use left context
+    assert rtvc.last_chunk is not None and rtvc.last_chunk.shape == (pre_len,)
+
+
+def test_batched_dispatch_matches_single(svc):
+    """_run_synth_batch groups same-bucket chunks into one device call;
+    with noice_scale=0 it must be bit-identical to per-chunk dispatch."""
+    sr = svc.target_sample
+    t = np.arange(sr // 2) / sr
+    wavs = [
+        (0.3 * np.sin(2 * np.pi * f * t)).astype(np.float32) for f in (200.0, 250.0, 300.0)
+    ]
+    items = [
+        svc._prepare_chunk("spk0", 0, w, sr, 0.0, False, "yin", 0.05)
+        for w in wavs
+    ]
+    batched = svc._run_synth_batch(items, 0.0, False, 52468, sample_noise=False)
+    singles = [
+        svc._run_synth_batch([it], 0.0, False, 52468, sample_noise=False)[0]
+        for it in items
+    ]
+    for b, s in zip(batched, singles):
+        np.testing.assert_allclose(b, s, rtol=1e-5, atol=1e-6)

@@ -169,24 +169,34 @@ def test_multi_period_discriminator_matches_reference():
         params, jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y_hat.transpose(0, 2, 1))
     )
     assert len(got_r) == len(r_logits) == 6
+
+    def to_torch_order(a):
+        """channels-last fmap -> torch channels-first layout.
+
+        DiscriminatorS: [B, T, C] -> [B, C, T];
+        DiscriminatorP: [B, T', P, C] -> [B, C, T', P]."""
+        a = np.asarray(a)
+        if a.ndim == 3:
+            return a.transpose(0, 2, 1)
+        return a.transpose(0, 3, 1, 2)
+
+    # logits element-wise in matched order (both flatten time-major)
     for mine, ref in zip(got_r, r_logits):
         np.testing.assert_allclose(
-            np.sort(np.asarray(mine).ravel()),
-            np.sort(ref.numpy().ravel()),
-            rtol=1e-3,
-            atol=1e-4,
+            np.asarray(mine), ref.numpy().reshape(ref.shape[0], -1),
+            rtol=1e-3, atol=1e-4,
         )
     for mine, ref in zip(got_g, g_logits):
         np.testing.assert_allclose(
-            np.sort(np.asarray(mine).ravel()),
-            np.sort(ref.numpy().ravel()),
-            rtol=1e-3,
-            atol=1e-4,
+            np.asarray(mine), ref.numpy().reshape(ref.shape[0], -1),
+            rtol=1e-3, atol=1e-4,
         )
-    # feature map L1 means drive the FM loss — compare those
-    for mf, rf in zip(got_rf, r_fmaps):
+    # feature maps element-wise (they drive the FM loss, train.py:200-207)
+    for mf, rf in zip(got_rf + got_gf, r_fmaps + g_fmaps):
         for m1, r1 in zip(mf, rf):
-            assert np.asarray(m1).size == r1.numel()
+            np.testing.assert_allclose(
+                to_torch_order(m1), r1.numpy(), rtol=1e-3, atol=1e-4
+            )
 
 
 SYN_KW = dict(
@@ -397,3 +407,40 @@ def test_synthesizer_training_forward_matches_reference(syn_pair):
     np.testing.assert_allclose(
         np.asarray(got_o)[..., 0], ref_o.numpy()[:, 0, :], rtol=2e-3, atol=3e-4
     )
+
+
+def test_spectral_norm_discriminator_matches_reference():
+    """use_spectral_norm=True variant (models.py:168,203): eval-mode parity
+    vs torch's spectral_norm (stored u/v, no power iteration), plus the
+    power-iteration update path under mutable 'spectral'."""
+    torch.manual_seed(5)
+    ref_mpd = ref_models.MultiPeriodDiscriminator(use_spectral_norm=True)
+    ref_mpd.eval()
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((1, 1, 330)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        r_logits, _, r_fmaps, _ = ref_mpd(torch.from_numpy(y), torch.from_numpy(y))
+
+    mpd = MultiPeriodDiscriminator(use_spectral_norm=True)
+    variables = jax.tree.map(
+        jnp.asarray,
+        ft.multi_period_discriminator_spectral(state_dict_numpy(ref_mpd)),
+    )
+    got_r, _, got_rf, _ = mpd.apply(
+        variables, jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y.transpose(0, 2, 1))
+    )
+    for mine, ref in zip(got_r, r_logits):
+        np.testing.assert_allclose(
+            np.asarray(mine), ref.numpy().reshape(ref.shape[0], -1),
+            rtol=2e-3, atol=2e-4,
+        )
+
+    # training path: power iteration mutates u/v toward the top singular pair
+    (_out, updated) = mpd.apply(
+        variables, jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y.transpose(0, 2, 1)),
+        mutable=["spectral"],
+    )
+    u0 = variables["spectral"]["disc_s"]["conv_0"]["u"]
+    u1 = updated["spectral"]["disc_s"]["conv_0"]["u"]
+    assert not np.allclose(np.asarray(u0), np.asarray(u1))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(u1)), 1.0, rtol=1e-5)

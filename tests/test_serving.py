@@ -122,3 +122,42 @@ def test_enhancer_runs_fresh_init():
     assert np.isfinite(out).all() and len(out) > 0
     out2, _ = enh.enhance(wav, SR, f0, 64, adaptive_key=2)
     assert np.isfinite(out2).all()
+
+
+def test_tts_voice_catalogue_and_language_detection():
+    """Full edge-TTS catalogue + auto language pick (edgetts/tts.py:12-32)."""
+    from sovits_tpu.serving.tts import (
+        SUPPORTED_VOICES,
+        VOICES_BY_LOCALE,
+        detect_language,
+        pick_voice,
+    )
+
+    assert len(SUPPORTED_VOICES) >= 290  # the reference ships ~300 voices
+    assert len(VOICES_BY_LOCALE) >= 130
+    assert SUPPORTED_VOICES["zh-CN-XiaoxiaoNeural"] == "zh-CN"
+    assert SUPPORTED_VOICES["en-US-AriaNeural"] == "en-US"
+    # language-code and locale inputs resolve to catalogued voices
+    for lang in ("zh-cn", "ja", "ko", "en", "de-DE", "fr-FR"):
+        v = pick_voice(lang, seed=0)
+        assert v in SUPPORTED_VOICES, v
+    # explicit voice ids pass through
+    assert pick_voice("en-US-GuyNeural") == "en-US-GuyNeural"
+    # unknown language falls back to en-US
+    assert pick_voice("xx-unknown", seed=0).startswith("en-US")
+    # heuristic auto-detect (langdetect absent in this image)
+    assert detect_language("こんにちは") == "ja"
+    assert detect_language("你好") == "zh-cn"
+    assert detect_language("안녕") == "ko"
+    assert detect_language("hello world") == "en"
+
+
+def test_webui_model_scan(tmp_path):
+    from sovits_tpu.serving.webui import scan_local_models
+
+    d = tmp_path / "logs" / "44k"
+    d.mkdir(parents=True)
+    (d / "config.json").write_text("{}")
+    (d / "model.npz").write_bytes(b"x")
+    found = scan_local_models(str(tmp_path / "logs"))
+    assert any(c.endswith("model.npz") for c, _ in found)
