@@ -29,9 +29,14 @@ def _scan_time(fn, *args, iters=ITERS):
     """Device time per call: `iters` calls inside one lax.scan (one host
     round trip, tunnel-latency immune); inputs perturbed to defeat CSE."""
 
+    def _perturb(x, i):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x + (i * 1e-6).astype(x.dtype)
+        return x
+
     def loop(*a):
         def body(carry, i):
-            out = fn(*[x + i * 1e-6 if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x for x in a])
+            out = fn(*[_perturb(x, i) for x in a])
             leaf = jax.tree.leaves(out)[0]
             return carry + leaf.sum().astype(jnp.float32), None
 
@@ -94,7 +99,9 @@ def main():
         def fn(c, f0, uv):
             wav_out, _ = syn.apply(
                 {"params": params}, c, f0, uv, spk, sample_noise=True,
-                rngs={"noise": jax.random.PRNGKey(1)}, method=Synthesizer.infer,
+                # rbg keys: threefry normal sampling costs ~2 ms/clip on v5e
+                rngs={"noise": jax.random.key(1, impl="rbg")},
+                method=Synthesizer.infer,
             )
             return wav_out
 

@@ -93,6 +93,33 @@ def process_one(
             np.save(path + ".aug_vol.npy", (vol * 10.0**log10_vol_shift).astype(np.float32))
 
 
+_POOL_F0P = None
+
+
+def _f0_pool_init(name: str, hop: int, sr: int):
+    """Worker initializer: per-process host-DSP f0 predictor (CPU only)."""
+    global _POOL_F0P
+    from ..f0 import get_f0_predictor
+
+    _POOL_F0P = get_f0_predictor(name, hop_length=hop, sampling_rate=sr)
+
+
+def _f0_pool_job(path: str) -> str:
+    from ..train.data import load_wav
+
+    f0_path = Path(path + ".f0.npy")
+    if not f0_path.exists():
+        wav, _sr = load_wav(path)
+        f0, uv = _POOL_F0P.compute_f0_uv(wav)
+        np.save(f0_path, np.array([f0, uv], dtype=object), allow_pickle=True)
+    return path
+
+
+# host-DSP predictors safe to run in worker processes (numpy/scipy only;
+# the NN predictors need the device and stay in the main process)
+_POOL_SAFE_F0 = {"dio", "harvest", "pm", "yin"}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", default="./configs/config.json")
@@ -101,6 +128,12 @@ def main(argv=None):
     parser.add_argument("--use_diff", action="store_true")
     parser.add_argument("--encoder_checkpoint", default=None)
     parser.add_argument("--filelists", nargs="*", default=None)
+    parser.add_argument(
+        "--workers", type=int, default=1,
+        help="process pool for the host-DSP f0 pass "
+        "(preprocess_hubert_f0.py:119-127 analog; device featurization "
+        "stays in the main process feeding the one chip)",
+    )
     args = parser.parse_args(argv)
 
     hps = scfg.load_config(args.config)
@@ -137,6 +170,20 @@ def main(argv=None):
     paths = []
     for fl in filelists:
         paths.extend(load_filelist(fl))
+
+    if args.workers > 1 and args.f0_predictor in _POOL_SAFE_F0:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(
+            max_workers=args.workers,
+            initializer=_f0_pool_init,
+            initargs=(args.f0_predictor, hps.data.hop_length,
+                      hps.data.sampling_rate),
+        ) as pool:
+            for i, _ in enumerate(pool.map(_f0_pool_job, paths)):
+                if (i + 1) % 50 == 0:
+                    print(f"f0 {i + 1}/{len(paths)}")
+
     for i, p in enumerate(paths):
         process_one(p, hps, encoder, f0p, args.use_diff, rng, mel_extractor)
         if (i + 1) % 20 == 0:

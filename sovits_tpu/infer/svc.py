@@ -313,7 +313,9 @@ class Svc:
                 audio, _f0_out = fn(
                     self.params, stack("c"), stack("f0"), stack("uv"), spk, vol,
                     lengths, noice_scale, bool(auto_predict_f0),
-                    jax.random.PRNGKey(seed), sample_noise,
+                    # rbg keys: threefry sampling costs ~2 ms per 10 s clip
+                    # on v5e (the sine source draws ~4M normals)
+                    jax.random.key(seed, impl="rbg"), sample_noise,
                 )
                 audio = np.asarray(audio)
                 for row, i in enumerate(sub):

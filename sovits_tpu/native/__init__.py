@@ -13,58 +13,85 @@ from pathlib import Path
 import numpy as np
 
 _HERE = Path(__file__).parent
-_LIB_PATH = _HERE / "libdio_refine.so"
-_lib = None
-_tried = False
 
 
-def _load():
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    if not _LIB_PATH.exists():
-        try:  # best-effort on-demand build (toolchain is available)
+_WORLD_LIB_PATH = _HERE / "libworld_f0.so"
+_world_lib = None
+_world_tried = False
+
+
+def _load_world():
+    global _world_lib, _world_tried
+    if _world_lib is not None or _world_tried:
+        return _world_lib
+    _world_tried = True
+    if not _WORLD_LIB_PATH.exists():
+        try:
             subprocess.run(
-                ["make", "-C", str(_HERE)], check=True, capture_output=True, timeout=120
+                ["make", "-C", str(_HERE)], check=True, capture_output=True, timeout=180
             )
         except Exception:
             return None
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
-        lib.dio_refine_f0.argtypes = [
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-            ctypes.c_double,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
+        lib = ctypes.CDLL(str(_WORLD_LIB_PATH))
+        dbl_p = ctypes.POINTER(ctypes.c_double)
+        lib.world_dio_f0_length.argtypes = [ctypes.c_int64, ctypes.c_double, ctypes.c_double]
+        lib.world_dio_f0_length.restype = ctypes.c_int
+        lib.world_dio.argtypes = [
+            dbl_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            dbl_p, dbl_p,
         ]
-        lib.dio_refine_f0.restype = None
-        _lib = lib
+        lib.world_dio.restype = None
+        lib.world_stonemask.argtypes = [
+            dbl_p, ctypes.c_int64, ctypes.c_double, dbl_p, dbl_p,
+            ctypes.c_int64, dbl_p,
+        ]
+        lib.world_stonemask.restype = None
+        _world_lib = lib
     except OSError:
-        _lib = None
-    return _lib
+        _world_lib = None
+    return _world_lib
 
 
-def dio_refine_available() -> bool:
-    return _load() is not None
+def world_available() -> bool:
+    return _load_world() is not None
 
 
-def dio_refine_f0(x: np.ndarray, fs: float, f0: np.ndarray, frame_t: np.ndarray) -> np.ndarray:
-    """C++ instantaneous-period refinement; returns the refined f0 copy."""
-    lib = _load()
+def world_dio(x: np.ndarray, fs: float, frame_period: float = 5.0,
+              f0_floor: float = 71.0, f0_ceil: float = 800.0,
+              channels_in_octave: float = 2.0, allowed_range: float = 0.1):
+    """Native WORLD DIO (world_f0.cpp). Returns (temporal_positions, f0)."""
+    lib = _load_world()
     if lib is None:
-        raise RuntimeError("native dio_refine library unavailable")
+        raise RuntimeError("native world_f0 library unavailable")
     x = np.ascontiguousarray(x, dtype=np.float64)
-    out = np.ascontiguousarray(f0, dtype=np.float64).copy()
-    t = np.ascontiguousarray(frame_t, dtype=np.float64)
-    lib.dio_refine_f0(
-        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        len(x),
-        float(fs),
-        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        len(out),
+    n = lib.world_dio_f0_length(len(x), float(fs), float(frame_period))
+    tpos = np.empty(n, np.float64)
+    f0 = np.empty(n, np.float64)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.world_dio(
+        x.ctypes.data_as(dbl_p), len(x), float(fs), float(frame_period),
+        float(f0_floor), float(f0_ceil), float(channels_in_octave),
+        float(allowed_range),
+        tpos.ctypes.data_as(dbl_p), f0.ctypes.data_as(dbl_p),
+    )
+    return tpos, f0
+
+
+def world_stonemask(x: np.ndarray, fs: float, temporal_positions: np.ndarray,
+                    f0: np.ndarray) -> np.ndarray:
+    lib = _load_world()
+    if lib is None:
+        raise RuntimeError("native world_f0 library unavailable")
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    f0 = np.ascontiguousarray(f0, dtype=np.float64)
+    out = np.empty_like(f0)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.world_stonemask(
+        x.ctypes.data_as(dbl_p), len(x), float(fs),
+        tpos.ctypes.data_as(dbl_p), f0.ctypes.data_as(dbl_p), len(f0),
+        out.ctypes.data_as(dbl_p),
     )
     return out

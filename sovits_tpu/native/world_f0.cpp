@@ -1,0 +1,419 @@
+// Faithful port of WORLD's DIO + StoneMask F0 estimators (host C++).
+//
+// The reference uses pyworld (WORLD C++, Morise et al.) for its default
+// `dio` predictor (modules/F0Predictor/DioF0Predictor.py:49-56). This file
+// implements the same published algorithm, mirroring the numpy reference in
+// sovits_tpu/f0/world_dio.py operation for operation (that file is the
+// parity oracle in tests/test_world.py). No WORLD source is vendored; the
+// implementation is written from the algorithm description.
+//
+// Build: make -C sovits_tpu/native  (produces libworld_f0.so)
+
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double kEps = 0.000000000001;
+constexpr double kMaxScore = 100000.0;
+constexpr double kPi = 3.14159265358979323846;
+
+using cplx = std::complex<double>;
+
+// ---------------------------------------------------------------- FFT ----
+// iterative radix-2 complex FFT (power-of-two sizes only)
+void fft_inplace(std::vector<cplx>& a, bool inverse) {
+  const size_t n = a.size();
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) std::swap(a[i], a[j]);
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = 2 * kPi / double(len) * (inverse ? 1.0 : -1.0);
+    const cplx wlen(std::cos(ang), std::sin(ang));
+    for (size_t i = 0; i < n; i += len) {
+      cplx w(1.0, 0.0);
+      for (size_t j = 0; j < len / 2; ++j) {
+        cplx u = a[i + j];
+        cplx v = a[i + j + len / 2] * w;
+        a[i + j] = u + v;
+        a[i + j + len / 2] = u - v;
+        w *= wlen;
+      }
+    }
+  }
+  if (inverse) {
+    for (auto& v : a) v /= double(n);
+  }
+}
+
+std::vector<cplx> rfft(const double* x, int n, int fft_size) {
+  std::vector<cplx> a(fft_size, cplx(0.0, 0.0));
+  for (int i = 0; i < n && i < fft_size; ++i) a[i] = cplx(x[i], 0.0);
+  fft_inplace(a, false);
+  a.resize(fft_size / 2 + 1);
+  return a;
+}
+
+std::vector<double> irfft(const std::vector<cplx>& half, int fft_size) {
+  std::vector<cplx> a(fft_size);
+  for (int i = 0; i <= fft_size / 2; ++i) a[i] = half[i];
+  for (int i = 1; i < fft_size / 2; ++i) a[fft_size - i] = std::conj(half[i]);
+  fft_inplace(a, true);
+  std::vector<double> out(fft_size);
+  for (int i = 0; i < fft_size; ++i) out[i] = a[i].real();
+  return out;
+}
+
+int suitable_fft_size(int n) {
+  int s = 1;
+  while (s < n) s <<= 1;
+  return s;
+}
+
+// ---------------------------------------------------------- DIO pieces ----
+std::vector<double> nuttall_window(int n) {
+  std::vector<double> w(n);
+  const double denom = n > 1 ? double(n - 1) : 1.0;
+  for (int i = 0; i < n; ++i) {
+    const double t = double(i) / denom;
+    w[i] = 0.355768 - 0.487396 * std::cos(2 * kPi * t) +
+           0.144232 * std::cos(4 * kPi * t) - 0.012604 * std::cos(6 * kPi * t);
+  }
+  return w;
+}
+
+// FFT of the DC-removed signal with a 50 Hz low-cut applied
+std::vector<cplx> spectrum_for_estimation(const double* x, int n, int fft_size,
+                                          double fs) {
+  double mean = 0.0;
+  for (int i = 0; i < n; ++i) mean += x[i];
+  mean /= double(n);
+  std::vector<double> y(n);
+  for (int i = 0; i < n; ++i) y[i] = x[i] - mean;
+  auto spec = rfft(y.data(), n, fft_size);
+
+  const int cutoff = int(std::llround(fs / 50.0));
+  const int m = cutoff * 2 + 1;
+  std::vector<double> highpass(m);
+  double sum = 0.0;
+  for (int i = 0; i < m; ++i) {
+    highpass[i] = 0.5 - 0.5 * std::cos(2 * kPi * double(i + 1) / double(m + 1));
+    sum += highpass[i];
+  }
+  for (int i = 0; i < m; ++i) highpass[i] = -highpass[i] / sum;
+  highpass[cutoff] += 1.0;
+  // rotate so the center tap sits at index 0 (zero-phase)
+  std::vector<double> fir(fft_size, 0.0);
+  for (int i = 0; i < m; ++i) {
+    int j = i - cutoff;
+    fir[(j % fft_size + fft_size) % fft_size] = highpass[i];
+  }
+  auto fir_spec = rfft(fir.data(), fft_size, fft_size);
+  for (size_t i = 0; i < spec.size(); ++i) spec[i] *= fir_spec[i];
+  return spec;
+}
+
+std::vector<double> band_filtered_signal(const std::vector<cplx>& y_spec,
+                                         double boundary_f0, double fs,
+                                         int fft_size, int y_length) {
+  const int half = int(std::llround(fs / boundary_f0 / 2.0));
+  const int n = half * 4;
+  auto w = nuttall_window(n);
+  std::vector<double> fir(fft_size, 0.0);
+  for (int i = 0; i < n; ++i) {
+    fir[i] = w[i] * std::cos(2 * kPi * boundary_f0 * double(i) / fs);
+  }
+  auto fir_spec = rfft(fir.data(), fft_size, fft_size);
+  for (size_t i = 0; i < fir_spec.size(); ++i) fir_spec[i] *= y_spec[i];
+  auto filt = irfft(fir_spec, fft_size);
+  std::vector<double> out(y_length);
+  for (int i = 0; i < y_length; ++i) out[i] = filt[half * 2 + i];
+  return out;
+}
+
+struct Track {
+  std::vector<double> locations;  // seconds
+  std::vector<double> f0;         // Hz
+};
+
+Track zero_crossing_track(const std::vector<double>& s, double fs) {
+  Track t;
+  std::vector<double> fine;
+  for (size_t i = 0; i + 1 < s.size(); ++i) {
+    if (s[i] > 0.0 && s[i + 1] <= 0.0) {
+      fine.push_back(double(i) + s[i] / (s[i] - s[i + 1] + kEps));
+    }
+  }
+  if (fine.size() < 2) return t;
+  for (size_t i = 0; i + 1 < fine.size(); ++i) {
+    const double interval = fine[i + 1] - fine[i];
+    t.locations.push_back(0.5 * (fine[i] + fine[i + 1]) / fs);
+    t.f0.push_back(fs / std::max(interval, kEps));
+  }
+  return t;
+}
+
+double interp1(const std::vector<double>& x, const std::vector<double>& y,
+               double q) {
+  // numpy.interp semantics: clamp outside the range
+  if (q <= x.front()) return y.front();
+  if (q >= x.back()) return y.back();
+  size_t lo = 0, hi = x.size() - 1;
+  while (hi - lo > 1) {
+    size_t mid = (lo + hi) / 2;
+    if (x[mid] <= q) lo = mid; else hi = mid;
+  }
+  const double w = (q - x[lo]) / (x[hi] - x[lo]);
+  return y[lo] * (1.0 - w) + y[hi] * w;
+}
+
+void candidate_and_score_for_band(
+    const Track tracks[4], double boundary_f0, double f0_floor, double f0_ceil,
+    const std::vector<double>& temporal_positions, double* candidate,
+    double* score) {
+  const int n = int(temporal_positions.size());
+  bool usable = true;
+  for (int k = 0; k < 4; ++k) {
+    if (tracks[k].locations.size() <= 2) usable = false;
+  }
+  if (!usable) {
+    for (int i = 0; i < n; ++i) { candidate[i] = 0.0; score[i] = kMaxScore; }
+    return;
+  }
+  for (int i = 0; i < n; ++i) {
+    double vals[4];
+    double mean = 0.0;
+    for (int k = 0; k < 4; ++k) {
+      vals[k] = interp1(tracks[k].locations, tracks[k].f0,
+                        temporal_positions[i]);
+      mean += vals[k];
+    }
+    mean /= 4.0;
+    double dev = 0.0;
+    for (int k = 0; k < 4; ++k) dev += (vals[k] - mean) * (vals[k] - mean);
+    dev = std::sqrt(dev / 3.0);
+    if (mean > boundary_f0 || mean < boundary_f0 / 2.0 || mean > f0_ceil ||
+        mean < f0_floor) {
+      candidate[i] = 0.0;
+      score[i] = kMaxScore;
+    } else {
+      candidate[i] = mean;
+      score[i] = dev;
+    }
+  }
+}
+
+void select_best_f0(double reference, const double* candidates, int n_bands,
+                    int stride, double* best, double* best_error) {
+  *best = candidates[0];
+  *best_error = std::fabs(reference - candidates[0]);
+  for (int b = 1; b < n_bands; ++b) {
+    const double err = std::fabs(reference - candidates[b * stride]);
+    if (err < *best_error) { *best_error = err; *best = candidates[b * stride]; }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int world_dio_f0_length(int64_t x_length, double fs, double frame_period_ms) {
+  return int(double(x_length) / fs * 1000.0 / frame_period_ms) + 1;
+}
+
+void world_dio(const double* x, int64_t x_length, double fs,
+               double frame_period_ms, double f0_floor, double f0_ceil,
+               double channels_in_octave, double allowed_range,
+               double* temporal_positions, double* f0_out) {
+  const int n_bands =
+      1 + int(std::log2(f0_ceil / f0_floor) * channels_in_octave);
+  std::vector<double> boundaries(n_bands);
+  for (int b = 0; b < n_bands; ++b) {
+    boundaries[b] = f0_floor * std::pow(2.0, double(b + 1) / channels_in_octave);
+  }
+
+  const int y_length = int(x_length);
+  const int n_frames = world_dio_f0_length(x_length, fs, frame_period_ms);
+  std::vector<double> tpos(n_frames);
+  for (int i = 0; i < n_frames; ++i) tpos[i] = i * frame_period_ms / 1000.0;
+  std::memcpy(temporal_positions, tpos.data(), sizeof(double) * n_frames);
+
+  const int fft_size = suitable_fft_size(
+      y_length + int(std::llround(fs / 50.0)) * 2 + 1 +
+      4 * int(1.0 + fs / boundaries[0] / 2.0));
+  auto y_spec = spectrum_for_estimation(x, y_length, fft_size, fs);
+
+  std::vector<double> candidates(size_t(n_bands) * n_frames, 0.0);
+  std::vector<double> scores(size_t(n_bands) * n_frames, kMaxScore);
+  for (int b = 0; b < n_bands; ++b) {
+    auto filtered =
+        band_filtered_signal(y_spec, boundaries[b], fs, fft_size, y_length);
+    std::vector<double> d(filtered.size() - 1);
+    for (size_t i = 0; i + 1 < filtered.size(); ++i) d[i] = filtered[i + 1] - filtered[i];
+    std::vector<double> neg_d(d.size());
+    for (size_t i = 0; i < d.size(); ++i) neg_d[i] = -d[i];
+    std::vector<double> neg(filtered.size());
+    for (size_t i = 0; i < filtered.size(); ++i) neg[i] = -filtered[i];
+    Track tracks[4] = {
+        zero_crossing_track(filtered, fs),
+        zero_crossing_track(neg, fs),
+        zero_crossing_track(d, fs),
+        zero_crossing_track(neg_d, fs),
+    };
+    candidate_and_score_for_band(tracks, boundaries[b], f0_floor, f0_ceil,
+                                 tpos, &candidates[size_t(b) * n_frames],
+                                 &scores[size_t(b) * n_frames]);
+  }
+
+  std::vector<double> best(n_frames, 0.0);
+  for (int i = 0; i < n_frames; ++i) {
+    int best_b = 0;
+    double best_rel =
+        scores[i] / (candidates[i] + kEps);
+    for (int b = 1; b < n_bands; ++b) {
+      const double rel = scores[size_t(b) * n_frames + i] /
+                         (candidates[size_t(b) * n_frames + i] + kEps);
+      if (rel < best_rel) { best_rel = rel; best_b = b; }
+    }
+    best[i] = scores[size_t(best_b) * n_frames + i] >= kMaxScore
+                  ? 0.0
+                  : candidates[size_t(best_b) * n_frames + i];
+  }
+
+  const int vrm = int(0.5 + 1000.0 / frame_period_ms / f0_floor) * 2 + 1;
+  if (n_frames <= 2 * vrm) {
+    std::memcpy(f0_out, best.data(), sizeof(double) * n_frames);
+    return;
+  }
+
+  // FixStep1: step detection
+  std::vector<double> base = best;
+  for (int i = 0; i < vrm && i < n_frames; ++i) base[i] = 0.0;
+  for (int i = std::max(n_frames - vrm, 0); i < n_frames; ++i) base[i] = 0.0;
+  std::vector<double> step1(n_frames, 0.0);
+  for (int i = vrm; i < n_frames; ++i) {
+    if (std::fabs((base[i] - base[i - 1]) / (kEps + base[i])) < allowed_range) {
+      step1[i] = base[i];
+    }
+  }
+  // FixStep2: remove short voiced runs
+  std::vector<double> step2 = step1;
+  const int half = vrm / 2;
+  for (int i = half; i < n_frames - half; ++i) {
+    for (int j = -half; j <= half; ++j) {
+      if (step1[i + j] == 0.0) { step2[i] = 0.0; break; }
+    }
+  }
+  // FixStep3: forward extension by candidates
+  std::vector<double> step3 = step2;
+  for (int i = 0; i + 1 < n_frames; ++i) {
+    if (step3[i] != 0.0 && step3[i + 1] == 0.0) {
+      for (int j = i + 1; j < n_frames; ++j) {
+        double cand, err;
+        // candidates laid out [band][frame]; stride between bands = n_frames
+        select_best_f0(step3[j - 1], &candidates[j], n_bands, n_frames, &cand,
+                       &err);
+        if (err / (step3[j - 1] + kEps) < allowed_range && cand != 0.0) {
+          step3[j] = cand;
+        } else {
+          break;
+        }
+      }
+    }
+  }
+  // FixStep4: backward extension
+  std::vector<double> step4 = step3;
+  for (int i = n_frames - 1; i > 0; --i) {
+    if (step4[i] != 0.0 && step4[i - 1] == 0.0) {
+      for (int j = i - 1; j >= 0; --j) {
+        double cand, err;
+        select_best_f0(step4[j + 1], &candidates[j], n_bands, n_frames, &cand,
+                       &err);
+        if (err / (step4[j + 1] + kEps) < allowed_range && cand != 0.0) {
+          step4[j] = cand;
+        } else {
+          break;
+        }
+      }
+    }
+  }
+  std::memcpy(f0_out, step4.data(), sizeof(double) * n_frames);
+}
+
+static double get_mean_f0(const double* x, int64_t x_length, double fs,
+                          double current_position, double current_f0) {
+  const int half_window = int(1.5 * fs / current_f0 + 1.0);
+  const double window_length_in_time = (2.0 * half_window + 1.0) / fs;
+  const int wlen = 2 * half_window + 1;
+  int fft_size = 1;
+  {
+    int need = half_window * 2 + 1;
+    int log2n = 0;
+    while ((1 << log2n) < need) ++log2n;
+    fft_size = 1 << (2 + log2n);
+  }
+
+  std::vector<double> segment(wlen), main_window(wlen), diff_window(wlen);
+  for (int i = 0; i < wlen; ++i) {
+    const double base_time = double(i - half_window) / fs;
+    int64_t idx = int64_t(std::llround((current_position + base_time) * fs + 0.001));
+    idx = std::min<int64_t>(std::max<int64_t>(idx, 0), x_length - 1);
+    segment[i] = x[idx];
+    const double position =
+        (base_time + window_length_in_time / 2.0) / window_length_in_time;
+    main_window[i] = 0.42 - 0.5 * std::cos(2 * kPi * position) +
+                     0.08 * std::cos(4 * kPi * position);
+  }
+  for (int i = 1; i + 1 < wlen; ++i) {
+    diff_window[i] = -(main_window[i + 1] - main_window[i - 1]) / 2.0;
+  }
+  diff_window[0] = -main_window[1] / 2.0;
+  diff_window[wlen - 1] = main_window[wlen - 2] / 2.0;
+
+  std::vector<double> wm(wlen), wd(wlen);
+  for (int i = 0; i < wlen; ++i) {
+    wm[i] = segment[i] * main_window[i];
+    wd[i] = segment[i] * diff_window[i];
+  }
+  auto main_spec = rfft(wm.data(), wlen, fft_size);
+  auto diff_spec = rfft(wd.data(), wlen, fft_size);
+
+  const int n_harmonics = std::min(int(fs / 2.0 / current_f0), 6);
+  if (n_harmonics < 1) return 0.0;
+  double num = 0.0, den = 0.0;
+  for (int k = 1; k <= n_harmonics; ++k) {
+    const int j = int(std::llround(current_f0 * k * fft_size / fs));
+    const double re = main_spec[j].real(), im = main_spec[j].imag();
+    const double power = re * re + im * im + kEps;
+    const double inst_freq =
+        double(j) * fs / fft_size +
+        (re * diff_spec[j].imag() - im * diff_spec[j].real()) / power * fs /
+            (2.0 * kPi);
+    const double amp = std::sqrt(power);
+    num += inst_freq * amp;
+    den += amp * double(k);
+  }
+  return num / (den + kEps);
+}
+
+void world_stonemask(const double* x, int64_t x_length, double fs,
+                     const double* temporal_positions, const double* f0_in,
+                     int64_t f0_length, double* f0_out) {
+  for (int64_t i = 0; i < f0_length; ++i) {
+    const double f = f0_in[i];
+    if (f == 0.0) { f0_out[i] = 0.0; continue; }
+    double mean_f0 = get_mean_f0(x, x_length, fs, temporal_positions[i], f);
+    if (std::fabs(mean_f0 - f) <= f * 0.2 && mean_f0 > 0.0) {
+      mean_f0 = get_mean_f0(x, x_length, fs, temporal_positions[i], mean_f0);
+    }
+    f0_out[i] = mean_f0 > 0.0 ? mean_f0 : f;
+  }
+}
+
+}  // extern "C"

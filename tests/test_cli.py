@@ -198,3 +198,31 @@ def test_flatten_unflatten_roundtrip():
     rt = unflatten_params(flat)
     np.testing.assert_array_equal(rt["a"]["b"], tree["a"]["b"])
     np.testing.assert_array_equal(rt["d"], tree["d"])
+
+
+def test_preprocess_features_worker_pool(tmp_path, monkeypatch):
+    """--workers N runs the host-DSP f0 pass in a process pool."""
+    import sovits_tpu.encoders
+
+    hps = tiny_hps()
+    paths = []
+    for i in range(4):
+        p = tmp_path / "d" / f"w{i}.wav"
+        _write_wav(p, hps.data.sampling_rate, 0.3, freq=200.0 + 20 * i)
+        paths.append(str(p))
+    flist = tmp_path / "fl.txt"
+    flist.write_text("\n".join(paths) + "\n")
+    hps.data["training_files"] = str(flist)
+    hps.data["validation_files"] = str(flist)
+    scfg.save_config(hps, tmp_path / "config.json")
+    monkeypatch.setattr(
+        sovits_tpu.encoders, "get_speech_encoder", lambda *a, **k: FakeEncoder()
+    )
+    preprocess_features.main([
+        "-c", str(tmp_path / "config.json"), "--f0_predictor", "dio",
+        "--workers", "2",
+    ])
+    for p in paths:
+        f0, uv = np.load(p + ".f0.npy", allow_pickle=True)
+        assert len(f0) == 2400 // hps.data.hop_length
+        assert np.isfinite(np.asarray(f0, np.float64)).all()

@@ -31,14 +31,24 @@ def test_exported_synthesizer(tmp_path, svc):
     export_synthesizer(ckpt, cfg, str(out), t_frames=32)
     assert out.exists() and out.with_suffix(".json").exists()
     call = load_exported(str(out))
-    wav = call(
-        jnp.zeros((1, 32, 24), jnp.float32),
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.standard_normal((1, 32, 24)), jnp.float32) * 0.1,
         jnp.full((1, 32), 220.0, jnp.float32),
         jnp.ones((1, 32), jnp.float32),
         jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 32), jnp.float32),
     )
-    assert np.isfinite(np.asarray(wav)).all()
+    wav = np.asarray(call(*args))
+    assert np.isfinite(wav).all()
+    # round trip must reproduce the live model exactly (deterministic path)
+    from sovits_tpu.models import Synthesizer
+
+    direct, _ = svc.model.apply(
+        {"params": svc.params}, *args[:4], sample_noise=False,
+        method=Synthesizer.infer,
+    )
+    np.testing.assert_allclose(wav, np.asarray(direct), rtol=1e-5, atol=1e-6)
 
 
 def test_stage_timer():

@@ -92,3 +92,74 @@ def test_crepe_net_shapes():
     out = net.apply(variables, frames)
     assert out.shape == (3, PITCH_BINS)
     assert ((out >= 0) & (out <= 1)).all()
+
+
+def make_speechy(seconds=1.6, sr=SR, seed=0):
+    """Speech-like fixture: glottal-pulse-style rich harmonics, vibrato,
+    amplitude modulation, additive noise, and unvoiced segments (the golden
+    fixtures VERDICT r1 asked for — synthesized so the true contour is known
+    exactly, since pyworld/parselmouth aren't installable here)."""
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    n -= n % HOP
+    t = np.arange(n) / sr
+    f0 = 160 + 40 * np.sin(2 * np.pi * 1.3 * t) + 10 * np.sin(2 * np.pi * 4.7 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    wav = np.zeros(n)
+    for h in range(1, 10):
+        wav += np.sin(h * phase) / h**1.2
+    wav *= 0.5 + 0.3 * np.sin(2 * np.pi * 2.1 * t)  # amplitude modulation
+    wav += 0.01 * rng.standard_normal(n)
+    voiced = np.ones(n, bool)
+    for s, e in [(0.55, 0.72), (1.25, 1.45)]:
+        a, b = int(s * sr), int(e * sr)
+        wav[a:b] = 0.02 * rng.standard_normal(b - a)
+        voiced[a:b] = False
+    wav *= 0.3 / np.max(np.abs(wav))
+    frame_f0 = f0[::HOP][: n // HOP]
+    frame_voiced = voiced[::HOP][: n // HOP]
+    return wav.astype(np.float32), frame_f0, frame_voiced
+
+
+# pm uses ~40 ms autocorrelation windows (Praat's to_pitch_ac), which
+# smears the 4.7 Hz vibrato component - hence the looser bound
+@pytest.mark.parametrize("name,tol_hz", [("dio", 3.0), ("harvest", 4.0),
+                                          ("pm", 9.0), ("yin", 6.0)])
+def test_speechlike_accuracy(name, tol_hz):
+    """Accuracy on a realistic vibrato + AM + noise + unvoiced-gap signal."""
+    wav, f0_true, voiced = make_speechy()
+    pred = get_f0_predictor(name, hop_length=HOP, sampling_rate=SR)
+    f0, uv = pred.compute_f0_uv(wav)
+    assert len(f0) == len(f0_true)
+    # interior voiced frames (away from voicing boundaries)
+    interior = voiced.copy()
+    for shift in (-3, -2, -1, 1, 2, 3):
+        interior &= np.roll(voiced, shift)
+    got = f0[interior]
+    want = f0_true[interior]
+    err = np.abs(got - want)
+    # median error tight; allow a few octave-ish outliers at extremes
+    assert np.median(err) < tol_hz, (name, np.median(err))
+    assert (err < 2 * tol_hz).mean() > 0.85, (name, (err < 2 * tol_hz).mean())
+    # unvoiced gaps flagged as unvoiced
+    gap_interior = ~voiced
+    for shift in (-3, -2, -1, 1, 2, 3):
+        gap_interior &= np.roll(~voiced, shift)
+    assert (uv[gap_interior] == 0).mean() > 0.6, name
+
+
+def test_world_dio_stonemask_refinement_improves():
+    """StoneMask refinement reduces error over raw DIO (stonemask.cpp role)."""
+    from sovits_tpu.f0.world_dio import dio, stonemask
+
+    wav, f0_true, voiced = make_speechy(seed=3)
+    tp, f0 = dio(wav.astype(np.float64), SR, frame_period=1000 * HOP / SR)
+    refined = stonemask(wav.astype(np.float64), SR, tp, f0)
+    truth = np.interp(tp, np.arange(len(f0_true)) * HOP / SR, f0_true)
+    voiced_frames = np.interp(tp, np.arange(len(voiced)) * HOP / SR,
+                              voiced.astype(float)) > 0.99
+    m = (f0 > 0) & voiced_frames
+    err_raw = np.abs(f0[m] - truth[m]).mean()
+    err_ref = np.abs(refined[m] - truth[m]).mean()
+    assert err_ref <= err_raw * 1.05  # at least as good
+    assert err_ref < 3.0

@@ -1,43 +1,50 @@
-"""Native C++ kernel parity vs the numpy fallback."""
+"""Native C++ WORLD port: parity vs the numpy reference implementation."""
 
 import numpy as np
 import pytest
 
 from sovits_tpu import native
-from sovits_tpu.f0.dio import DioF0Predictor
+from sovits_tpu.f0 import world_dio as wd
 
 
-def _tone(freq, seconds, sr):
+def _speechy(seconds=1.2, sr=44100, base=220.0, vib=12.0, seed=0):
+    """Harmonic-rich signal with vibrato and an unvoiced noise tail."""
+    rng = np.random.default_rng(seed)
     t = np.arange(int(seconds * sr)) / sr
-    return (0.3 * np.sin(2 * np.pi * freq * t) + 0.1 * np.sin(4 * np.pi * freq * t)).astype(np.float64)
+    f0 = base + vib * np.sin(2 * np.pi * 3.1 * t)
+    phase = np.cumsum(2 * np.pi * f0 / sr)
+    wav = 0.4 * np.sin(phase) + 0.2 * np.sin(2 * phase) + 0.1 * np.sin(3 * phase)
+    cut = int(0.8 * len(t))
+    wav[cut:] = 0.01 * rng.standard_normal(len(t) - cut)
+    return wav.astype(np.float64), f0, cut
 
 
-def test_native_dio_refine_matches_numpy():
-    if not native.dio_refine_available():
-        pytest.skip("native toolchain unavailable")
+@pytest.mark.skipif(not native.world_available(), reason="native toolchain unavailable")
+def test_native_world_dio_matches_numpy():
+    wav, _f0_true, _ = _speechy()
     sr, hop = 44100, 512
-    x = _tone(220.0, 0.6, sr)
-    n_frames = len(x) // hop
-    frame_t = np.arange(n_frames) * hop / sr
-    # coarse estimate slightly off so refinement has work to do
-    f0 = np.full(n_frames, 223.0)
-    f0[:3] = 0.0  # unvoiced frames untouched
+    fp = 1000.0 * hop / sr
+    tp_c, f0_c = native.world_dio(wav, sr, frame_period=fp)
+    tp_p, f0_p = wd.dio(wav, sr, frame_period=fp)
+    np.testing.assert_allclose(tp_c, tp_p)
+    np.testing.assert_allclose(f0_c, f0_p, rtol=1e-7, atol=1e-6)
 
-    # numpy reference path: call the fallback loop directly
-    import sovits_tpu.native as nat
+    r_c = native.world_stonemask(wav, sr, tp_c, f0_c)
+    r_p = wd.stonemask(wav, sr, tp_p, f0_p)
+    np.testing.assert_allclose(r_c, r_p, rtol=1e-7, atol=1e-6)
 
-    got_native = nat.dio_refine_f0(x, sr, f0, frame_t)
 
-    # bypass the native dispatch to exercise the numpy body
-    orig = nat.dio_refine_available
-    nat.dio_refine_available = lambda: False
-    try:
-        got_numpy = DioF0Predictor._refine(x, sr, f0.copy(), frame_t)
-    finally:
-        nat.dio_refine_available = orig
-
-    np.testing.assert_array_equal(got_native[:3], 0.0)
-    np.testing.assert_allclose(got_native, got_numpy, rtol=1e-6, atol=1e-6)
-    # refinement should move toward the true 220 Hz
-    mid = slice(5, n_frames - 5)
-    assert np.median(np.abs(got_native[mid] - 220.0)) < np.median(np.abs(f0[mid] - 220.0))
+@pytest.mark.skipif(not native.world_available(), reason="native toolchain unavailable")
+def test_native_world_dio_accuracy():
+    wav, f0_true, cut = _speechy()
+    sr, hop = 44100, 512
+    tp, f0 = native.world_dio(wav, sr, frame_period=1000.0 * hop / sr)
+    f0 = native.world_stonemask(wav, sr, tp, f0)
+    frames_voiced = tp < (cut / sr - 0.05)
+    v = f0[frames_voiced]
+    truth = np.interp(tp[frames_voiced], np.arange(len(wav)) / sr, f0_true)
+    mask = v > 0
+    assert mask.mean() > 0.9  # voiced region detected as voiced
+    assert np.abs(v[mask] - truth[mask]).mean() < 2.0  # Hz
+    tail = tp > (cut / sr + 0.05)
+    assert (f0[tail] > 0).mean() < 0.2  # noise stays mostly unvoiced

@@ -32,7 +32,7 @@ def scan_time(fn, *args, iters=10):
     def loop(*a):
         def body(c, i):
             out = fn(*[
-                x + i * 1e-6
+                x + (i * 1e-6).astype(jnp.asarray(x).dtype)
                 if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x
                 for x in a
             ])
