@@ -228,11 +228,14 @@ def bench_mel_l1(hps, t_frames: int = 200) -> float:
             n_resblock_kernels=len(m.resblock_kernel_sizes),
         ),
     )
-    got_wav, _ = syn.apply(
-        {"params": params}, jnp.asarray(c), jnp.asarray(f0), jnp.asarray(uv),
-        jnp.zeros((1,), jnp.int32), sample_noise=False, noise_scale=0.0,
-        method=Synthesizer.infer,
-    )
+    # parity measurement, not perf: force fp32 MXU passes (TPU's default
+    # matmul precision is bf16x3/bf16, which inflates mel-L1 ~1e-5 -> ~4e-2)
+    with jax.default_matmul_precision("highest"):
+        got_wav, _ = syn.apply(
+            {"params": params}, jnp.asarray(c), jnp.asarray(f0), jnp.asarray(uv),
+            jnp.zeros((1,), jnp.int32), sample_noise=False, noise_scale=0.0,
+            method=Synthesizer.infer,
+        )
     got_wav = np.asarray(got_wav)[0, :, 0]
 
     n = min(len(ref_wav), len(got_wav))

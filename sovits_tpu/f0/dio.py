@@ -25,13 +25,19 @@ from .world_dio import stonemask as world_stonemask_py
 
 
 class DioF0Predictor(F0Predictor):
-    """WORLD DIO + StoneMask (DioF0Predictor.py:17-74 contract)."""
+    """WORLD DIO + StoneMask (DioF0Predictor.py:17-74 contract).
+
+    Default mode is the fast hybrid: scipy overlap-save band filtering in
+    float32 (~1e-6-relative rounding on the filtered signals, negligible
+    next to DIO's own estimation error), C++ track extraction + candidate
+    scoring, and the C++ direct-bin StoneMask. ``exact=True`` runs the pure
+    float64 numpy oracle path (bit-for-bit the parity reference used by
+    tests/test_native.py)."""
 
     name = "dio"
     channels_in_octave = 2.0
     allowed_range = 0.1
-    use_native = False  # C++ (native/world_f0.cpp); numpy is the default
-    #                     (scipy's FFT outruns the naive C++ FFT on long clips)
+    exact = False
 
     def _world(self, wav: np.ndarray):
         fs = float(self.sampling_rate)
@@ -42,15 +48,16 @@ class DioF0Predictor(F0Predictor):
             channels_in_octave=self.channels_in_octave,
             allowed_range=self.allowed_range,
         )
-        if self.use_native:
-            from .. import native
+        from .. import native
 
-            if native.world_available():
-                tpos, f0 = native.world_dio(
-                    wav, fs, frame_period=frame_period, **kwargs
-                )
-                return tpos, native.world_stonemask(wav, fs, tpos, f0)
-        tpos, f0 = world_dio_py(wav, fs, frame_period=frame_period, **kwargs)
+        fast = not self.exact and native.world_available()
+        tpos, f0 = world_dio_py(
+            wav, fs, frame_period=frame_period,
+            filter_dtype=np.float64 if self.exact else np.float32,
+            native_candidates=fast, **kwargs,
+        )
+        if fast:
+            return tpos, native.world_stonemask(wav, fs, tpos, f0)
         return tpos, world_stonemask_py(wav, fs, tpos, f0)
 
     def raw_f0(self, wav: np.ndarray, p_len: int) -> np.ndarray:

@@ -38,11 +38,9 @@ def nuttall_window(n: int) -> np.ndarray:
     )
 
 
-def _spectrum_for_estimation(y: np.ndarray, fft_size: int, fs: float) -> np.ndarray:
-    """FFT of the (DC-removed) signal with a 50 Hz low-cut applied."""
-    y = y - y.mean()
-    spec = sfft.rfft(y, fft_size, workers=-1)
-    # low-cut filter: inverted normalized Hanning lowpass + delta (highpass)
+def _highpass_fir(fs: float) -> tuple[np.ndarray, int]:
+    """WORLD's 50 Hz low-cut: inverted normalized Hanning lowpass + delta.
+    Returns (fir, cutoff_in_sample); zero-phase = center tap at `cutoff`."""
     cutoff_in_sample = int(round(fs / 50.0))
     n = cutoff_in_sample * 2 + 1
     k = np.arange(1, n + 1, dtype=np.float64)
@@ -50,55 +48,96 @@ def _spectrum_for_estimation(y: np.ndarray, fft_size: int, fs: float) -> np.ndar
     lowpass /= lowpass.sum()
     highpass = -lowpass
     highpass[cutoff_in_sample] += 1.0
-    # zero-phase alignment: rotate so the center tap sits at index 0
-    fir = np.zeros(fft_size)
-    fir[: n] = highpass
-    fir = np.roll(fir, -cutoff_in_sample)
-    return spec * sfft.rfft(fir, workers=-1)
+    return highpass, cutoff_in_sample
 
 
 def _band_filtered_signals(
-    y_spec: np.ndarray, boundaries: np.ndarray, fs: float, fft_size: int,
-    y_length: int,
+    y: np.ndarray, boundaries: np.ndarray, fs: float,
+    filter_dtype=np.float64,
 ) -> list[np.ndarray]:
-    """Band-pass around each boundary_f0: Nuttall window times cosine
-    carrier. All bands go through ONE batched (multithreaded) FFT pair."""
-    firs = np.zeros((len(boundaries), fft_size))
-    halves = []
+    """Low-cut + band-pass the DC-removed signal around each boundary_f0
+    (Nuttall window times cosine carrier), delay-compensated.
+
+    Evaluated by overlap-save: the 50 Hz highpass is folded into each band
+    FIR in the frequency domain (exact — combined support fits one block),
+    the signal's block FFTs are computed ONCE and shared by every band, and
+    all inverse FFTs run cache-sized (the big-FFT formulation spends ~4x
+    longer in pow2(len(y)) transforms). Identical to direct linear
+    convolution up to fp rounding. `filter_dtype=float32` halves FFT cost
+    for ~1e-6-relative rounding in the filtered signals (the predictor's
+    fast mode); float64 is the parity-oracle default.
+    """
+    y = y - y.mean()
+    y_length = len(y)
+    hp, cutoff = _highpass_fir(fs)
+
+    halves = [int(round(fs / b / 2.0)) for b in boundaries]
+    l_max = len(hp) + 4 * max(halves) - 1  # longest combined FIR
+    n_blk = _suitable_fft_size(4 * l_max)
+    step = n_blk - l_max + 1
+
+    # combined FIR spectra: rfft(hp)*rfft(band) == rfft(hp conv band) exactly
+    firs = np.zeros((len(boundaries), n_blk), filter_dtype)
     for b, boundary_f0 in enumerate(boundaries):
-        half = int(round(fs / boundary_f0 / 2.0))
-        halves.append(half)
-        n = half * 4
+        n = halves[b] * 4
         w = nuttall_window(n)
         carrier = np.cos(2 * np.pi * boundary_f0 * np.arange(n) / fs)
-        firs[b, :n] = w * carrier
-    filt = sfft.irfft(
-        sfft.rfft(firs, axis=1, workers=-1) * y_spec[None, :],
-        fft_size, axis=1, workers=-1,
-    )
-    # compensate the filter delay (center of each FIR)
-    return [filt[b, h * 2 : h * 2 + y_length] for b, h in enumerate(halves)]
+        firs[b, :n] = (w * carrier).astype(filter_dtype)
+    g_spec = sfft.rfft(firs, axis=1, workers=-1)
+    g_spec *= sfft.rfft(hp.astype(filter_dtype), n_blk, workers=-1)[None, :]
+
+    # block the (front-padded) signal: block j yields linconv[j*step:(j+1)*step]
+    total_out = y_length + cutoff + 2 * max(halves)
+    n_blocks = -(-total_out // step)
+    z = np.zeros((l_max - 1) + (n_blocks - 1) * step + n_blk, filter_dtype)
+    z[l_max - 1 : l_max - 1 + y_length] = y
+    idx = np.arange(n_blk)[None, :] + (np.arange(n_blocks) * step)[:, None]
+    block_spec = sfft.rfft(z[idx], axis=1, workers=-1)
+
+    out = []
+    for b, h in enumerate(halves):
+        filt = sfft.irfft(block_spec * g_spec[b], n_blk, axis=1, workers=-1)
+        lin = filt[:, l_max - 1 :].reshape(-1)  # linconv[0 : n_blocks*step]
+        # compensate the highpass delay (cutoff) + band FIR delay (2*half)
+        out.append(np.ascontiguousarray(
+            lin[cutoff + 2 * h : cutoff + 2 * h + y_length]))
+    return out
 
 
-def _zero_crossing_track(s: np.ndarray, fs: float) -> tuple[np.ndarray, np.ndarray]:
-    """Negative-going zero crossings of s -> (interval midpoints [s],
-    instantaneous f0 per interval [Hz])."""
-    neg = np.where((s[:-1] > 0.0) & (s[1:] <= 0.0))[0]
-    if len(neg) < 2:
+def _crossing_events(s: np.ndarray, idx: np.ndarray, fs: float):
+    """Refine crossing sample indices -> (interval midpoints [s], f0 [Hz])."""
+    if len(idx) < 2:
         return np.empty(0), np.empty(0)
-    fine = neg + s[neg] / (s[neg] - s[neg + 1] + EPS)
+    fine = idx + s[idx] / (s[idx] - s[idx + 1] + EPS)
     intervals = np.diff(fine)
     locations = 0.5 * (fine[:-1] + fine[1:]) / fs
     return locations, fs / np.maximum(intervals, EPS)
 
 
+def _zero_crossing_track(s: np.ndarray, fs: float) -> tuple[np.ndarray, np.ndarray]:
+    """Negative-going zero crossings of s -> (interval midpoints [s],
+    instantaneous f0 per interval [Hz])."""
+    return _crossing_events(s, np.where((s[:-1] > 0.0) & (s[1:] <= 0.0))[0], fs)
+
+
 def _four_tracks(filtered: np.ndarray, fs: float):
+    """(negative-going, positive-going, peak, dip) event tracks.
+
+    The sign masks are shared between the +/- variants of each signal (one
+    `> 0` pass each for s and its first difference instead of eight
+    comparison passes over the full-rate signal)."""
     d = np.diff(filtered)
+    pos, neg = filtered > 0.0, filtered < 0.0  # (-s > 0) == (s < 0): keep
+    dpos, dneg = d > 0.0, d < 0.0              # exact ==0.0 semantics
+    neg_going = np.where(pos[:-1] & ~pos[1:])[0]
+    pos_going = np.where(neg[:-1] & ~neg[1:])[0]
+    peaks = np.where(dpos[:-1] & ~dpos[1:])[0]
+    dips = np.where(dneg[:-1] & ~dneg[1:])[0]
     return [
-        _zero_crossing_track(filtered, fs),  # negative-going crossings
-        _zero_crossing_track(-filtered, fs),  # positive-going crossings
-        _zero_crossing_track(d, fs),  # peaks
-        _zero_crossing_track(-d, fs),  # dips
+        _crossing_events(filtered, neg_going, fs),
+        _crossing_events(-filtered, pos_going, fs),
+        _crossing_events(d, peaks, fs),
+        _crossing_events(-d, dips, fs),
     ]
 
 
@@ -198,8 +237,17 @@ def dio(
     channels_in_octave: float = 2.0,
     frame_period: float = 5.0,  # ms
     allowed_range: float = 0.1,
+    filter_dtype=np.float64,
+    native_candidates: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """WORLD DIO. Returns (temporal_positions [s], f0 [Hz], 0 = unvoiced)."""
+    """WORLD DIO. Returns (temporal_positions [s], f0 [Hz], 0 = unvoiced).
+
+    ``filter_dtype=float32`` halves the band-filtering FFT cost for
+    ~1e-6-relative rounding in the filtered signals (see
+    `_band_filtered_signals`); float64 is the parity-oracle default.
+    ``native_candidates=True`` runs the loop-heavy track-extraction +
+    candidate scoring in C++ (native/world_f0.cpp, same operations) when
+    the library is available; the pure-numpy path is the oracle."""
     x = np.asarray(x, np.float64)
     n_bands = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
     boundaries = f0_floor * 2.0 ** (np.arange(1, n_bands + 1) / channels_in_octave)
@@ -208,22 +256,28 @@ def dio(
     n_frames = int(y_length / fs * 1000.0 / frame_period) + 1
     temporal_positions = np.arange(n_frames) * frame_period / 1000.0
 
-    fft_size = _suitable_fft_size(
-        y_length + int(round(fs / 50.0)) * 2 + 1
-        + 4 * int(1.0 + fs / boundaries[0] / 2.0)
-    )
-    y_spec = _spectrum_for_estimation(x, fft_size, fs)
-
     candidates = np.zeros((n_bands, n_frames))
     scores = np.full((n_bands, n_frames), MAX_SCORE)
     filtered_bands = _band_filtered_signals(
-        y_spec, boundaries, fs, fft_size, y_length
+        x, boundaries, fs, filter_dtype=filter_dtype
     )
+    native_mod = None
+    if native_candidates:
+        from .. import native as native_mod_  # lazy: optional toolchain
+
+        if native_mod_.world_available():
+            native_mod = native_mod_
     for b, boundary in enumerate(boundaries):
-        tracks = _four_tracks(filtered_bands[b], fs)
-        candidates[b], scores[b] = _candidate_and_score_for_band(
-            tracks, boundary, f0_floor, f0_ceil, temporal_positions
-        )
+        if native_mod is not None:
+            candidates[b], scores[b] = native_mod.world_band_candidates(
+                filtered_bands[b], fs, boundary, f0_floor, f0_ceil,
+                temporal_positions,
+            )
+        else:
+            tracks = _four_tracks(filtered_bands[b], fs)
+            candidates[b], scores[b] = _candidate_and_score_for_band(
+                tracks, boundary, f0_floor, f0_ceil, temporal_positions
+            )
 
     # best candidate per frame: smallest relative deviation
     rel = scores / (candidates + EPS)
@@ -231,6 +285,11 @@ def dio(
     best = candidates[best_band, np.arange(n_frames)]
     best = np.where(scores[best_band, np.arange(n_frames)] >= MAX_SCORE, 0.0, best)
 
+    if native_mod is not None:
+        f0 = native_mod.world_fix_steps(
+            best, candidates, frame_period, f0_floor, allowed_range
+        )
+        return temporal_positions, f0
     voice_range_minimum = int(0.5 + 1000.0 / frame_period / f0_floor) * 2 + 1
     if len(best) > 2 * voice_range_minimum:
         f0 = _fix_step1(best, voice_range_minimum, allowed_range)

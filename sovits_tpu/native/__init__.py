@@ -48,6 +48,24 @@ def _load_world():
             ctypes.c_int64, dbl_p,
         ]
         lib.world_stonemask.restype = None
+        lib.world_band_candidates.argtypes = [
+            dbl_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, dbl_p, ctypes.c_int64,
+            dbl_p, dbl_p,
+        ]
+        lib.world_band_candidates.restype = None
+        flt_p = ctypes.POINTER(ctypes.c_float)
+        lib.world_band_candidates_f.argtypes = [
+            flt_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, dbl_p, ctypes.c_int64,
+            dbl_p, dbl_p,
+        ]
+        lib.world_band_candidates_f.restype = None
+        lib.world_fix_steps.argtypes = [
+            dbl_p, dbl_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, dbl_p,
+        ]
+        lib.world_fix_steps.restype = None
         _world_lib = lib
     except OSError:
         _world_lib = None
@@ -77,6 +95,55 @@ def world_dio(x: np.ndarray, fs: float, frame_period: float = 5.0,
         tpos.ctypes.data_as(dbl_p), f0.ctypes.data_as(dbl_p),
     )
     return tpos, f0
+
+
+def world_band_candidates(
+    filtered: np.ndarray, fs: float, boundary_f0: float, f0_floor: float,
+    f0_ceil: float, temporal_positions: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Event tracks + interpolation + candidate/score for one filtered band
+    (the loop-heavy middle of DIO). Returns (candidate, score) per frame."""
+    lib = _load_world()
+    if lib is None:
+        raise RuntimeError("native world_f0 library unavailable")
+    if filtered.dtype != np.float32:
+        filtered = np.ascontiguousarray(filtered, dtype=np.float64)
+    else:
+        filtered = np.ascontiguousarray(filtered)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    cand = np.empty(len(tpos), np.float64)
+    score = np.empty(len(tpos), np.float64)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    fn = (lib.world_band_candidates_f if filtered.dtype == np.float32
+          else lib.world_band_candidates)
+    in_p = (ctypes.POINTER(ctypes.c_float) if filtered.dtype == np.float32
+            else dbl_p)
+    fn(
+        filtered.ctypes.data_as(in_p), len(filtered), float(fs),
+        float(boundary_f0), float(f0_floor), float(f0_ceil),
+        tpos.ctypes.data_as(dbl_p), len(tpos),
+        cand.ctypes.data_as(dbl_p), score.ctypes.data_as(dbl_p),
+    )
+    return cand, score
+
+
+def world_fix_steps(best: np.ndarray, candidates: np.ndarray,
+                    frame_period_ms: float, f0_floor: float,
+                    allowed_range: float) -> np.ndarray:
+    """The four DIO contour-fixing passes (candidates: [n_bands, n_frames])."""
+    lib = _load_world()
+    if lib is None:
+        raise RuntimeError("native world_f0 library unavailable")
+    best = np.ascontiguousarray(best, dtype=np.float64)
+    candidates = np.ascontiguousarray(candidates, dtype=np.float64)
+    out = np.empty_like(best)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.world_fix_steps(
+        best.ctypes.data_as(dbl_p), candidates.ctypes.data_as(dbl_p),
+        candidates.shape[0], candidates.shape[1], float(frame_period_ms),
+        float(f0_floor), float(allowed_range), out.ctypes.data_as(dbl_p),
+    )
+    return out
 
 
 def world_stonemask(x: np.ndarray, fs: float, temporal_positions: np.ndarray,

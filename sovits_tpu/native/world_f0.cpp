@@ -219,9 +219,127 @@ void select_best_f0(double reference, const double* candidates, int n_bands,
   }
 }
 
+// Four event tracks (neg/pos crossings, peaks, dips) of one filtered band
+// in a single pass over the signal — nothing is materialized. The refined
+// positions reproduce zero_crossing_track on the negated/differenced
+// signals exactly: fp negation and a-b vs -((-a)-(-b)) are exact.
+template <typename T>
+void four_tracks(const T* s, int n, double fs, Track tracks[4]) {
+  std::vector<double> fine[4];
+  const double expect = fs / 2000.0;  // rough events-per-track upper bound
+  for (int k = 0; k < 4; ++k) fine[k].reserve(size_t(n / std::max(expect, 4.0)));
+  double d_prev = double(s[1]) - double(s[0]);
+  for (int i = 0; i + 1 < n; ++i) {
+    const double a = double(s[i]), b = double(s[i + 1]);
+    if (a > 0.0 && b <= 0.0) fine[0].push_back(i + a / (a - b + kEps));
+    if (a < 0.0 && b >= 0.0) fine[1].push_back(i + (-a) / (b - a + kEps));
+    if (i + 2 < n) {
+      const double d0 = d_prev, d1 = double(s[i + 2]) - b;
+      if (d0 > 0.0 && d1 <= 0.0) fine[2].push_back(i + d0 / (d0 - d1 + kEps));
+      if (d0 < 0.0 && d1 >= 0.0) fine[3].push_back(i + (-d0) / (d1 - d0 + kEps));
+      d_prev = d1;
+    }
+  }
+  for (int k = 0; k < 4; ++k) {
+    Track& t = tracks[k];
+    const auto& f = fine[k];
+    if (f.size() < 2) { t = Track{}; continue; }
+    t.locations.resize(f.size() - 1);
+    t.f0.resize(f.size() - 1);
+    for (size_t i = 0; i + 1 < f.size(); ++i) {
+      t.locations[i] = 0.5 * (f[i] + f[i + 1]) / fs;
+      t.f0[i] = fs / std::max(f[i + 1] - f[i], kEps);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// tracks + interpolation + candidate/score for one band-filtered signal
+// (the loop-heavy middle of DIO; filtering stays in the caller)
+void world_band_candidates(const double* filtered, int64_t y_length, double fs,
+                           double boundary_f0, double f0_floor, double f0_ceil,
+                           const double* temporal_positions, int64_t n_frames,
+                           double* candidate, double* score) {
+  Track tracks[4];
+  four_tracks(filtered, int(y_length), fs, tracks);
+  std::vector<double> tpos(temporal_positions, temporal_positions + n_frames);
+  candidate_and_score_for_band(tracks, boundary_f0, f0_floor, f0_ceil, tpos,
+                               candidate, score);
+}
+
+// float32 variant (the fast filtering path hands over float32 bands)
+void world_band_candidates_f(const float* filtered, int64_t y_length,
+                             double fs, double boundary_f0, double f0_floor,
+                             double f0_ceil, const double* temporal_positions,
+                             int64_t n_frames, double* candidate,
+                             double* score) {
+  Track tracks[4];
+  four_tracks(filtered, int(y_length), fs, tracks);
+  std::vector<double> tpos(temporal_positions, temporal_positions + n_frames);
+  candidate_and_score_for_band(tracks, boundary_f0, f0_floor, f0_ceil, tpos,
+                               candidate, score);
+}
+
+// the four contour-fixing passes over the best-candidate contour
+// (candidates laid out [band][frame], stride n_frames between bands)
+void world_fix_steps(const double* best, const double* candidates,
+                     int64_t n_bands, int64_t n_frames, double frame_period_ms,
+                     double f0_floor, double allowed_range, double* f0_out) {
+  const int nf = int(n_frames), nb = int(n_bands);
+  const int vrm = int(0.5 + 1000.0 / frame_period_ms / f0_floor) * 2 + 1;
+  if (nf <= 2 * vrm) {
+    std::memcpy(f0_out, best, sizeof(double) * nf);
+    return;
+  }
+  std::vector<double> base(best, best + nf);
+  for (int i = 0; i < vrm && i < nf; ++i) base[i] = 0.0;
+  for (int i = std::max(nf - vrm, 0); i < nf; ++i) base[i] = 0.0;
+  std::vector<double> step1(nf, 0.0);
+  for (int i = vrm; i < nf; ++i) {
+    if (std::fabs((base[i] - base[i - 1]) / (kEps + base[i])) < allowed_range) {
+      step1[i] = base[i];
+    }
+  }
+  std::vector<double> step2 = step1;
+  const int half = vrm / 2;
+  for (int i = half; i < nf - half; ++i) {
+    for (int j = -half; j <= half; ++j) {
+      if (step1[i + j] == 0.0) { step2[i] = 0.0; break; }
+    }
+  }
+  std::vector<double> step3 = step2;
+  for (int i = 0; i + 1 < nf; ++i) {
+    if (step3[i] != 0.0 && step3[i + 1] == 0.0) {
+      for (int j = i + 1; j < nf; ++j) {
+        double cand, err;
+        select_best_f0(step3[j - 1], &candidates[j], nb, nf, &cand, &err);
+        if (err / (step3[j - 1] + kEps) < allowed_range && cand != 0.0) {
+          step3[j] = cand;
+        } else {
+          break;
+        }
+      }
+    }
+  }
+  std::vector<double> step4 = step3;
+  for (int i = nf - 1; i > 0; --i) {
+    if (step4[i] != 0.0 && step4[i - 1] == 0.0) {
+      for (int j = i - 1; j >= 0; --j) {
+        double cand, err;
+        select_best_f0(step4[j + 1], &candidates[j], nb, nf, &cand, &err);
+        if (err / (step4[j + 1] + kEps) < allowed_range && cand != 0.0) {
+          step4[j] = cand;
+        } else {
+          break;
+        }
+      }
+    }
+  }
+  std::memcpy(f0_out, step4.data(), sizeof(double) * nf);
+}
 
 int world_dio_f0_length(int64_t x_length, double fs, double frame_period_ms) {
   return int(double(x_length) / fs * 1000.0 / frame_period_ms) + 1;
@@ -346,55 +464,76 @@ void world_dio(const double* x, int64_t x_length, double fs,
   std::memcpy(f0_out, step4.data(), sizeof(double) * n_frames);
 }
 
+// GetMeanF0 without the per-frame FFT: only the <=6 harmonic bins of the
+// windowed-segment spectra are ever read, so each is evaluated directly as
+// a DFT sum with a rotation recurrence (error ~n*eps, well under the parity
+// tolerance); the Blackman window is likewise generated by recurrence
+// (cos(4pi p) = 2 cos^2(2pi p) - 1). ~40x less work per frame than the
+// radix-2 FFT formulation at typical voice f0.
 static double get_mean_f0(const double* x, int64_t x_length, double fs,
-                          double current_position, double current_f0) {
+                          double current_position, double current_f0,
+                          std::vector<double>& wm, std::vector<double>& wd,
+                          std::vector<double>& win) {
   const int half_window = int(1.5 * fs / current_f0 + 1.0);
-  const double window_length_in_time = (2.0 * half_window + 1.0) / fs;
   const int wlen = 2 * half_window + 1;
   int fft_size = 1;
   {
-    int need = half_window * 2 + 1;
     int log2n = 0;
-    while ((1 << log2n) < need) ++log2n;
+    while ((1 << log2n) < wlen) ++log2n;
     fft_size = 1 << (2 + log2n);
   }
-
-  std::vector<double> segment(wlen), main_window(wlen), diff_window(wlen);
-  for (int i = 0; i < wlen; ++i) {
-    const double base_time = double(i - half_window) / fs;
-    int64_t idx = int64_t(std::llround((current_position + base_time) * fs + 0.001));
-    idx = std::min<int64_t>(std::max<int64_t>(idx, 0), x_length - 1);
-    segment[i] = x[idx];
-    const double position =
-        (base_time + window_length_in_time / 2.0) / window_length_in_time;
-    main_window[i] = 0.42 - 0.5 * std::cos(2 * kPi * position) +
-                     0.08 * std::cos(4 * kPi * position);
-  }
-  for (int i = 1; i + 1 < wlen; ++i) {
-    diff_window[i] = -(main_window[i + 1] - main_window[i - 1]) / 2.0;
-  }
-  diff_window[0] = -main_window[1] / 2.0;
-  diff_window[wlen - 1] = main_window[wlen - 2] / 2.0;
-
-  std::vector<double> wm(wlen), wd(wlen);
-  for (int i = 0; i < wlen; ++i) {
-    wm[i] = segment[i] * main_window[i];
-    wd[i] = segment[i] * diff_window[i];
-  }
-  auto main_spec = rfft(wm.data(), wlen, fft_size);
-  auto diff_spec = rfft(wd.data(), wlen, fft_size);
-
   const int n_harmonics = std::min(int(fs / 2.0 / current_f0), 6);
   if (n_harmonics < 1) return 0.0;
+
+  // main window by rotation recurrence over position (i + 0.5) / wlen
+  wm.resize(wlen);
+  wd.resize(wlen);
+  win.resize(wlen);
+  std::vector<double>& main_window = win;
+  {
+    const double step = 2 * kPi / double(wlen);
+    const double cs = std::cos(step), sn = std::sin(step);
+    double cr = std::cos(0.5 * step), ci = std::sin(0.5 * step);
+    for (int i = 0; i < wlen; ++i) {
+      main_window[i] = 0.42 - 0.5 * cr + 0.08 * (2.0 * cr * cr - 1.0);
+      const double nr = cr * cs - ci * sn;
+      ci = cr * sn + ci * cs;
+      cr = nr;
+    }
+  }
+  // segment (integer-offset sample indexing, as the numpy oracle), staged
+  // in wm; wd = segment * diff-window, then wm *= main-window in place
+  const int64_t base_idx = int64_t(std::llround(current_position * fs + 0.001));
+  for (int i = 0; i < wlen; ++i) {
+    int64_t idx = base_idx + int64_t(i - half_window);
+    idx = std::min<int64_t>(std::max<int64_t>(idx, 0), x_length - 1);
+    wm[i] = x[idx];
+  }
+  for (int i = 1; i + 1 < wlen; ++i) {
+    wd[i] = wm[i] * (-(main_window[i + 1] - main_window[i - 1]) / 2.0);
+  }
+  wd[0] = wm[0] * (-main_window[1] / 2.0);
+  wd[wlen - 1] = wm[wlen - 1] * (main_window[wlen - 2] / 2.0);
+  for (int i = 0; i < wlen; ++i) wm[i] *= main_window[i];
+
   double num = 0.0, den = 0.0;
   for (int k = 1; k <= n_harmonics; ++k) {
     const int j = int(std::llround(current_f0 * k * fft_size / fs));
-    const double re = main_spec[j].real(), im = main_spec[j].imag();
-    const double power = re * re + im * im + kEps;
+    const double ang = 2 * kPi * double(j) / double(fft_size);
+    const double cs = std::cos(ang), sn = -std::sin(ang);  // e^{-i ang} step
+    double er = 1.0, ei = 0.0;
+    double mr = 0.0, mi = 0.0, dr = 0.0, di = 0.0;
+    for (int i = 0; i < wlen; ++i) {
+      mr += wm[i] * er; mi += wm[i] * ei;
+      dr += wd[i] * er; di += wd[i] * ei;
+      const double nr = er * cs - ei * sn;
+      ei = er * sn + ei * cs;
+      er = nr;
+    }
+    const double power = mr * mr + mi * mi + kEps;
     const double inst_freq =
         double(j) * fs / fft_size +
-        (re * diff_spec[j].imag() - im * diff_spec[j].real()) / power * fs /
-            (2.0 * kPi);
+        (mr * di - mi * dr) / power * fs / (2.0 * kPi);
     const double amp = std::sqrt(power);
     num += inst_freq * amp;
     den += amp * double(k);
@@ -405,12 +544,15 @@ static double get_mean_f0(const double* x, int64_t x_length, double fs,
 void world_stonemask(const double* x, int64_t x_length, double fs,
                      const double* temporal_positions, const double* f0_in,
                      int64_t f0_length, double* f0_out) {
+  std::vector<double> wm, wd, win;
   for (int64_t i = 0; i < f0_length; ++i) {
     const double f = f0_in[i];
     if (f == 0.0) { f0_out[i] = 0.0; continue; }
-    double mean_f0 = get_mean_f0(x, x_length, fs, temporal_positions[i], f);
+    double mean_f0 =
+        get_mean_f0(x, x_length, fs, temporal_positions[i], f, wm, wd, win);
     if (std::fabs(mean_f0 - f) <= f * 0.2 && mean_f0 > 0.0) {
-      mean_f0 = get_mean_f0(x, x_length, fs, temporal_positions[i], mean_f0);
+      mean_f0 = get_mean_f0(x, x_length, fs, temporal_positions[i], mean_f0,
+                            wm, wd, win);
     }
     f0_out[i] = mean_f0 > 0.0 ? mean_f0 : f;
   }

@@ -35,6 +35,37 @@ def test_native_world_dio_matches_numpy():
 
 
 @pytest.mark.skipif(not native.world_available(), reason="native toolchain unavailable")
+def test_fast_hybrid_matches_exact_oracle():
+    """The production fast path (float32 overlap-save filtering + C++
+    candidates/fix-steps/stonemask) must agree with the float64 numpy
+    oracle: identical voicing decisions and sub-ppm f0 on the fixture."""
+    wav, _f0_true, _ = _speechy()
+    sr, hop = 44100, 512
+    fp = 1000.0 * hop / sr
+    tp_e, f0_e = wd.dio(wav, sr, frame_period=fp)
+    sm_e = wd.stonemask(wav, sr, tp_e, f0_e)
+    tp_f, f0_f = wd.dio(wav, sr, frame_period=fp,
+                        filter_dtype=np.float32, native_candidates=True)
+    sm_f = native.world_stonemask(wav, sr, tp_f, f0_f)
+    np.testing.assert_allclose(tp_f, tp_e)
+    assert ((sm_e > 0) == (sm_f > 0)).all()
+    v = sm_e > 0
+    assert np.abs(sm_e[v] - sm_f[v]).max() / sm_e[v].min() < 1e-5
+
+
+@pytest.mark.skipif(not native.world_available(), reason="native toolchain unavailable")
+def test_native_candidates_exact_on_f64():
+    """C++ track extraction + candidate scoring + fix steps reproduce the
+    pure-numpy path bit-near-exactly when filtering stays float64."""
+    wav, _f0_true, _ = _speechy(seed=3)
+    sr, hop = 44100, 512
+    fp = 1000.0 * hop / sr
+    _, f0_py = wd.dio(wav, sr, frame_period=fp)
+    _, f0_cc = wd.dio(wav, sr, frame_period=fp, native_candidates=True)
+    np.testing.assert_allclose(f0_cc, f0_py, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.skipif(not native.world_available(), reason="native toolchain unavailable")
 def test_native_world_dio_accuracy():
     wav, f0_true, cut = _speechy()
     sr, hop = 44100, 512
