@@ -17,7 +17,6 @@ StoneMask algorithms (numpy), mirrored in C++ in native/world_f0.cpp
 from __future__ import annotations
 
 import numpy as np
-from scipy import signal as sps
 
 from .base import F0Predictor
 from .world_dio import dio as world_dio_py
@@ -66,21 +65,24 @@ class DioF0Predictor(F0Predictor):
 
 
 class HarvestF0Predictor(DioF0Predictor):
-    """Harvest-flavoured variant (denser candidates + smoother contour).
+    """WORLD Harvest (HarvestF0Predictor.py:46-69 contract).
 
-    Approximates pyworld.harvest (HarvestF0Predictor.py:46-69) with the DIO
-    machinery at 12 channels/octave plus median smoothing — harvest.cpp's
-    instantaneous-frequency candidate maps are not ported.
-    """
+    Full port of the published Harvest algorithm (Morise 2017) — dense
+    40-channels/octave candidate maps on the decimated signal, harmonic
+    instantaneous-frequency refinement with reliability scores, best-score
+    contour tracking, and zero-phase smoothing. See f0/world_harvest.py."""
 
     name = "harvest"
-    channels_in_octave = 12.0
-    allowed_range = 0.18
 
-    def raw_f0(self, wav, p_len):
-        f0 = super().raw_f0(wav, p_len)
-        voiced = f0 > 0
-        if voiced.any():
-            sm = sps.medfilt(np.where(voiced, f0, np.nan), kernel_size=3)
-            f0 = np.where(voiced & ~np.isnan(sm), sm, f0)
-        return f0
+    def _world(self, wav: np.ndarray):
+        from .world_harvest import harvest
+
+        fs = float(self.sampling_rate)
+        frame_period = 1000.0 * self.hop_length / fs
+        return harvest(
+            wav, fs,
+            f0_floor=max(self.f0_min, 40.0),
+            f0_ceil=self.f0_max,
+            frame_period=frame_period,
+            use_native=not self.exact,
+        )

@@ -344,7 +344,8 @@ def _get_mean_f0(
 
 
 def _get_mean_f0_grouped(
-    x: np.ndarray, fs: float, positions: np.ndarray, f0s: np.ndarray
+    x: np.ndarray, fs: float, positions: np.ndarray, f0s: np.ndarray,
+    scores: np.ndarray | None = None,
 ) -> np.ndarray:
     """GetMeanF0 for many frames at once.
 
@@ -412,7 +413,21 @@ def _get_mean_f0_grouped(
         valid_k = ks[None, :] <= n_harm[:, None]
         num = np.sum(np.where(valid_k, freq * amp, 0.0), axis=1)
         den = np.sum(np.where(valid_k, amp * ks[None, :], 0.0), axis=1)
-        out[sel] = np.where(n_harm >= 1, num / (den + EPS), 0.0)
+        refined = np.where(n_harm >= 1, num / (den + EPS), 0.0)
+        out[sel] = refined
+        if scores is not None:
+            # reliability = fundamental-strength-weighted inverse of the
+            # mean amp-weighted relative IF deviation (see native refine_one:
+            # the amp(k=1)/max(amp) factor kills subharmonic explanations)
+            dev_k = np.abs(freq / ks[None, :] - refined[:, None]) / (
+                refined[:, None] + EPS
+            )
+            dev = np.sum(np.where(valid_k, amp * dev_k, 0.0), axis=1) / (
+                np.sum(np.where(valid_k, amp, 0.0), axis=1) + EPS
+            )
+            amax = np.max(np.where(valid_k, amp, 0.0), axis=1)
+            w1 = amp[:, 0] / (amax + EPS)
+            scores[sel] = np.where(n_harm >= 1, w1 / (dev + EPS), 0.0)
     return out
 
 

@@ -66,6 +66,11 @@ def _load_world():
             ctypes.c_double, ctypes.c_double, dbl_p,
         ]
         lib.world_fix_steps.restype = None
+        lib.world_refine_f0.argtypes = [
+            dbl_p, ctypes.c_int64, ctypes.c_double, dbl_p, dbl_p,
+            ctypes.c_int64, dbl_p, dbl_p,
+        ]
+        lib.world_refine_f0.restype = None
         _world_lib = lib
     except OSError:
         _world_lib = None
@@ -144,6 +149,27 @@ def world_fix_steps(best: np.ndarray, candidates: np.ndarray,
         float(f0_floor), float(allowed_range), out.ctypes.data_as(dbl_p),
     )
     return out
+
+
+def world_refine_f0(x: np.ndarray, fs: float, positions: np.ndarray,
+                    f0s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Harvest candidate refinement: (refined f0, reliability score) per
+    (position, f0) pair, via harmonic instantaneous frequency."""
+    lib = _load_world()
+    if lib is None:
+        raise RuntimeError("native world_f0 library unavailable")
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    f0s = np.ascontiguousarray(f0s, dtype=np.float64)
+    refined = np.empty_like(f0s)
+    score = np.empty_like(f0s)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.world_refine_f0(
+        x.ctypes.data_as(dbl_p), len(x), float(fs),
+        positions.ctypes.data_as(dbl_p), f0s.ctypes.data_as(dbl_p), len(f0s),
+        refined.ctypes.data_as(dbl_p), score.ctypes.data_as(dbl_p),
+    )
+    return refined, score
 
 
 def world_stonemask(x: np.ndarray, fs: float, temporal_positions: np.ndarray,

@@ -541,6 +541,97 @@ static double get_mean_f0(const double* x, int64_t x_length, double fs,
   return num / (den + kEps);
 }
 
+// GetRefinedF0 for Harvest: like get_mean_f0 but also returns a
+// reliability score = 1 / (amp-weighted mean relative deviation of the
+// per-harmonic instantaneous f0 from the refined estimate).
+static void refine_one(const double* x, int64_t x_length, double fs,
+                       double current_position, double current_f0,
+                       double* refined, double* score,
+                       std::vector<double>& wm, std::vector<double>& wd,
+                       std::vector<double>& win) {
+  *refined = 0.0;
+  *score = 0.0;
+  const int half_window = int(1.5 * fs / current_f0 + 1.0);
+  const int wlen = 2 * half_window + 1;
+  int fft_size = 1;
+  {
+    int log2n = 0;
+    while ((1 << log2n) < wlen) ++log2n;
+    fft_size = 1 << (2 + log2n);
+  }
+  const int n_harmonics = std::min(int(fs / 2.0 / current_f0), 6);
+  if (n_harmonics < 1) return;
+
+  wm.resize(wlen); wd.resize(wlen); win.resize(wlen);
+  {
+    const double step = 2 * kPi / double(wlen);
+    const double cs = std::cos(step), sn = std::sin(step);
+    double cr = std::cos(0.5 * step), ci = std::sin(0.5 * step);
+    for (int i = 0; i < wlen; ++i) {
+      win[i] = 0.42 - 0.5 * cr + 0.08 * (2.0 * cr * cr - 1.0);
+      const double nr = cr * cs - ci * sn;
+      ci = cr * sn + ci * cs;
+      cr = nr;
+    }
+  }
+  const int64_t base_idx = int64_t(std::llround(current_position * fs + 0.001));
+  for (int i = 0; i < wlen; ++i) {
+    int64_t idx = base_idx + int64_t(i - half_window);
+    idx = std::min<int64_t>(std::max<int64_t>(idx, 0), x_length - 1);
+    wm[i] = x[idx];
+  }
+  for (int i = 1; i + 1 < wlen; ++i) {
+    wd[i] = wm[i] * (-(win[i + 1] - win[i - 1]) / 2.0);
+  }
+  wd[0] = wm[0] * (-win[1] / 2.0);
+  wd[wlen - 1] = wm[wlen - 1] * (win[wlen - 2] / 2.0);
+  for (int i = 0; i < wlen; ++i) wm[i] *= win[i];
+
+  double inst[6], amp[6];
+  double num = 0.0, den = 0.0;
+  for (int k = 1; k <= n_harmonics; ++k) {
+    const int j = int(std::llround(current_f0 * k * fft_size / fs));
+    const double ang = 2 * kPi * double(j) / double(fft_size);
+    const double cs = std::cos(ang), sn = -std::sin(ang);
+    double er = 1.0, ei = 0.0, mr = 0.0, mi = 0.0, dr = 0.0, di = 0.0;
+    for (int i = 0; i < wlen; ++i) {
+      mr += wm[i] * er; mi += wm[i] * ei;
+      dr += wd[i] * er; di += wd[i] * ei;
+      const double nr = er * cs - ei * sn;
+      ei = er * sn + ei * cs;
+      er = nr;
+    }
+    const double power = mr * mr + mi * mi + kEps;
+    inst[k - 1] = double(j) * fs / fft_size +
+                  (mr * di - mi * dr) / power * fs / (2.0 * kPi);
+    amp[k - 1] = std::sqrt(power);
+    num += inst[k - 1] * amp[k - 1];
+    den += amp[k - 1] * double(k);
+  }
+  const double r = num / (den + kEps);
+  double dev = 0.0, asum = 0.0, amax = 0.0;
+  for (int k = 1; k <= n_harmonics; ++k) {
+    dev += amp[k - 1] * std::fabs(inst[k - 1] / double(k) - r) / (r + kEps);
+    asum += amp[k - 1];
+    amax = std::max(amax, amp[k - 1]);
+  }
+  *refined = r;
+  // fundamental-strength weighting: a subharmonic of a real tone explains
+  // the harmonic stack with near-zero IF deviation but has only noise in
+  // its own fundamental slot — scale reliability by amp(k=1)/max(amp).
+  *score = (amp[0] / (amax + kEps)) / (dev / (asum + kEps) + kEps);
+}
+
+void world_refine_f0(const double* x, int64_t x_length, double fs,
+                     const double* positions, const double* f0s, int64_t n,
+                     double* refined_out, double* score_out) {
+  std::vector<double> wm, wd, win;
+  for (int64_t i = 0; i < n; ++i) {
+    refine_one(x, x_length, fs, positions[i], f0s[i], &refined_out[i],
+               &score_out[i], wm, wd, win);
+  }
+}
+
 void world_stonemask(const double* x, int64_t x_length, double fs,
                      const double* temporal_positions, const double* f0_in,
                      int64_t f0_length, double* f0_out) {

@@ -148,6 +148,41 @@ def test_speechlike_accuracy(name, tol_hz):
     assert (uv[gap_interior] == 0).mean() > 0.6, name
 
 
+def test_world_harvest_contour_quality():
+    """Harvest (full Morise-2017 pipeline) tracks vibrato closely, yields a
+    SMOOTH contour (its biquad-smoothed output should beat raw DIO's
+    frame-to-frame jitter), and keeps noise gaps unvoiced."""
+    from sovits_tpu.f0.world_dio import dio, stonemask
+    from sovits_tpu.f0.world_harvest import harvest
+
+    wav, f0_true, voiced = make_speechy(seed=1)
+    wav64 = wav.astype(np.float64)
+    fp = 1000 * HOP / SR
+    tp, f0_h = harvest(wav64, SR, frame_period=fp)
+    tp_d, f0_d = dio(wav64, SR, frame_period=fp)
+    f0_d = stonemask(wav64, SR, tp_d, f0_d)
+
+    truth = np.interp(tp, np.arange(len(f0_true)) * HOP / SR, f0_true)
+    voiced_frames = np.interp(tp, np.arange(len(voiced)) * HOP / SR,
+                              voiced.astype(float)) > 0.99
+    m = (f0_h > 0) & voiced_frames
+    assert m.mean() > 0.5
+    assert np.abs(f0_h[m] - truth[m]).mean() < 3.0
+
+    # smoothness: median |Δf0| over voiced runs no worse than refined DIO
+    def jitter(f0):
+        d = np.abs(np.diff(f0))
+        keep = (f0[1:] > 0) & (f0[:-1] > 0)
+        return np.median(d[keep])
+
+    assert jitter(f0_h) <= jitter(f0_d) * 1.1
+
+    # unvoiced gaps: mostly zero
+    gap = np.interp(tp, np.arange(len(voiced)) * HOP / SR,
+                    (~voiced).astype(float)) > 0.99
+    assert (f0_h[gap] == 0).mean() > 0.6
+
+
 def test_world_dio_stonemask_refinement_improves():
     """StoneMask refinement reduces error over raw DIO (stonemask.cpp role)."""
     from sovits_tpu.f0.world_dio import dio, stonemask

@@ -6,11 +6,15 @@ generator forward, discriminator forward, D step (fwd+bwd+opt), G step
     python tools/profile_train.py
 """
 
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
 def scan_time(fn, *args, iters=8):
