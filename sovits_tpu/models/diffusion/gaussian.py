@@ -264,13 +264,118 @@ class DiffusionSchedule:
         x = second_update(x, m0, m1, steps)
         return x
 
-    def sample_unipc_bh2(self, denoise_fn, x, t_start: int, steps: int, cond) -> jax.Array:
-        """Multistep UniPC (variant bh2, order 2, data prediction).
+    def sample_dpmpp_singlestep(
+        self, denoise_fn, x, t_start: int, steps: int, cond, order: int = 2
+    ) -> jax.Array:
+        """Singlestep DPM-Solver++ (orders 1-3, time_uniform, data pred).
+
+        Matches DPM_Solver.sample(..., method='singlestep', order=order,
+        skip_type='time_uniform', solver_type='dpmsolver') — the vendored
+        breadth beyond the reference's default multistep path
+        (diffusion/dpm_solver_pytorch.py:335-1253). The uniform time grid
+        makes every inner point (r1=1/2 midpoints, r2=2/3 thirds) land on
+        the fine `solver_times` grid, so one table serves all blocks.
+        """
+        assert order in (1, 2, 3)
+        tbl = self.solver_times(t_start, steps)
+        alpha = jnp.asarray(tbl["alpha"])
+        sigma = jnp.asarray(tbl["sigma"])
+        lam = jnp.asarray(tbl["lambda"])
+        t_input = jnp.asarray(tbl["t_input"])
+        b_sz = x.shape[0]
+
+        def x0_fn(x, idx):
+            eps = denoise_fn(x, jnp.full((b_sz,), t_input[idx], jnp.float32), cond)
+            return (x - sigma[idx] * eps) / alpha[idx]
+
+        # block order plan (dpm_solver_pytorch.py:
+        # get_orders_and_timesteps_for_singlestep_solver)
+        if order == 1:
+            orders = [1] * steps
+        elif order == 2:
+            orders = [2] * (steps // 2) + ([1] if steps % 2 else [])
+        else:
+            if steps % 3 == 0:
+                orders = [3] * (steps // 3 - 1) + [2, 1]
+            elif steps % 3 == 1:
+                orders = [3] * (steps // 3) + [1]
+            else:
+                orders = [3] * (steps // 3) + [2]
+
+        def update_1(x, s, t):
+            h = lam[t] - lam[s]
+            m_s = x0_fn(x, s)
+            return sigma[t] / sigma[s] * x - alpha[t] * jnp.expm1(-h) * m_s
+
+        def update_2(x, s, t):
+            s1 = (s + t) // 2  # time-uniform midpoint is on the fine grid
+            h = lam[t] - lam[s]
+            r1 = (lam[s1] - lam[s]) / h
+            m_s = x0_fn(x, s)
+            x_s1 = sigma[s1] / sigma[s] * x - alpha[s1] * jnp.expm1(-r1 * h) * m_s
+            m_s1 = x0_fn(x_s1, s1)
+            phi_1 = jnp.expm1(-h)
+            return (
+                sigma[t] / sigma[s] * x
+                - alpha[t] * phi_1 * m_s
+                - (0.5 / r1) * alpha[t] * phi_1 * (m_s1 - m_s)
+            )
+
+        def update_3(x, s, t):
+            s1 = s + (t - s) // 3
+            s2 = s + 2 * (t - s) // 3
+            h = lam[t] - lam[s]
+            r1 = (lam[s1] - lam[s]) / h
+            r2 = (lam[s2] - lam[s]) / h
+            m_s = x0_fn(x, s)
+            x_s1 = sigma[s1] / sigma[s] * x - alpha[s1] * jnp.expm1(-r1 * h) * m_s
+            m_s1 = x0_fn(x_s1, s1)
+            phi_12 = jnp.expm1(-r2 * h)
+            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+            x_s2 = (
+                sigma[s2] / sigma[s] * x
+                - alpha[s2] * phi_12 * m_s
+                + (r2 / r1) * alpha[s2] * phi_22 * (m_s1 - m_s)
+            )
+            m_s2 = x0_fn(x_s2, s2)
+            phi_1 = jnp.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            return (
+                sigma[t] / sigma[s] * x
+                - alpha[t] * phi_1 * m_s
+                + (1.0 / r2) * alpha[t] * phi_2 * (m_s2 - m_s)
+            )
+
+        update = {1: update_1, 2: update_2, 3: update_3}
+        # uniform prefix runs as a scan; the (at most two) tail blocks are
+        # unrolled — avoids Python-unrolling long chains at big step counts
+        n_pre = 0
+        while n_pre < len(orders) and orders[n_pre] == order:
+            n_pre += 1
+        if n_pre > 1:
+            def body(x, i):
+                return update[order](x, i * order, (i + 1) * order), None
+            x, _ = jax.lax.scan(body, x, jnp.arange(n_pre, dtype=jnp.int32))
+            pos = n_pre * order
+        else:
+            pos = 0
+            if n_pre == 1:
+                x = update[order](x, 0, order)
+                pos = order
+        for o in orders[n_pre:]:
+            x = update[o](x, pos, pos + o)
+            pos += o
+        return x
+
+    def sample_unipc_bh2(self, denoise_fn, x, t_start: int, steps: int, cond,
+                         variant: str = "bh2") -> jax.Array:
+        """Multistep UniPC (variants bh1/bh2, order 2, data prediction).
 
         Matches UniPC.sample(..., order=2, skip_type='time_uniform',
         method='multistep') over NoiseScheduleVP('discrete', betas[:t])
         (diffusion/uni_pc.py:473-592): order-2 predictor with rho=1/2 plus a
         B(h) corrector; last step drops to order 1 without corrector.
+        Variant sets B(h): expm1(h) for bh2, h for bh1 (uni_pc.py:238+).
         """
         tbl = self.solver_times(t_start, steps)
         alpha = jnp.asarray(tbl["alpha"])
@@ -287,7 +392,7 @@ class DiffusionSchedule:
             """Per-step (h_phi_1, B_h, b1, b2) with hh = -h (predict_x0)."""
             hh = -(lam[i] - lam[i - 1])
             h_phi_1 = jnp.expm1(hh)
-            b_h = jnp.expm1(hh)  # bh2
+            b_h = jnp.expm1(hh) if variant == "bh2" else hh  # B(h)
             h_phi_k1 = h_phi_1 / hh - 1.0
             b1 = h_phi_k1 / b_h
             h_phi_k2 = h_phi_k1 / hh - 0.5
@@ -363,12 +468,23 @@ class DiffusionSchedule:
             x = self.sample_ddpm(denoise_fn, x, t_start, cond, jax.random.fold_in(rng, 1))
         elif method in ("dpm-solver", "dpm-solver++"):
             x = self.sample_dpmpp_2m(denoise_fn, x, t_start, t_start // speedup, cond)
-        elif method == "unipc":
-            x = self.sample_unipc_bh2(denoise_fn, x, t_start, t_start // speedup, cond)
+        elif method in ("dpm-solver++-1s", "dpm-solver++-2s", "dpm-solver++-3s"):
+            x = self.sample_dpmpp_singlestep(
+                denoise_fn, x, t_start, t_start // speedup, cond,
+                order=int(method[-2]),
+            )
+        elif method in ("unipc", "unipc-bh2", "unipc-bh1"):
+            x = self.sample_unipc_bh2(
+                denoise_fn, x, t_start, t_start // speedup, cond,
+                variant="bh1" if method.endswith("bh1") else "bh2",
+            )
         elif method == "pndm":
             x = self.sample_plms(denoise_fn, x, t_start, speedup, cond)
         elif method == "ddim":
             x = self.sample_ddim(denoise_fn, x, t_start, speedup, cond)
         else:
+            # unipc vary_coeff and dpm-solver adaptive are deliberately not
+            # ported: the reference never invokes them (diffusion.py only
+            # reaches multistep order-2 / bh-variant paths)
             raise NotImplementedError(method)
         return self.denorm_spec(x)

@@ -1,6 +1,7 @@
 """Parity tests: diffusion stack vs the reference torch implementation."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -210,6 +211,49 @@ def test_dpmpp_2m_many_steps_matches_reference():
     _run_dpmpp_case(k_step=40, speedup=2)  # 20 steps -> scan path
 
 
+def _ref_dpmpp_singlestep(gd, x_t, cond, k_step, steps, order):
+    from diffusion.dpm_solver_pytorch import DPM_Solver, NoiseScheduleVP, model_wrapper
+
+    ns = NoiseScheduleVP(schedule="discrete", betas=gd.betas[:k_step])
+    cond_t = torch.from_numpy(cond.transpose(0, 2, 1))
+    model_fn = model_wrapper(
+        gd.denoise_fn, ns, model_type="noise", model_kwargs={"cond": cond_t}
+    )
+    solver = DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+    with torch.no_grad():
+        x = solver.sample(x_t, steps=steps, order=order,
+                          skip_type="time_uniform", method="singlestep")
+    return gd.denorm_spec(x.squeeze(1).transpose(1, 2)).numpy()
+
+
+@pytest.mark.parametrize("order,k_step,speedup", [
+    (2, 20, 2),   # 10 steps -> 5 uniform order-2 blocks
+    (2, 20, 4),   # 5 steps -> [2,2,1] tail path
+    (3, 36, 2),   # 18 steps -> [3]*5+[2,1]
+    (3, 20, 2),   # 10 steps -> [3]*3+[1]
+])
+def test_dpmpp_singlestep_matches_reference(order, k_step, speedup):
+    """Singlestep DPM-Solver++ parity vs the vendored solver
+    (dpm_solver_pytorch.py:335-1253 breadth)."""
+    ref_net, mine, params = _ref_pair()
+    gd = _ref_gaussian(ref_net)
+    sched = DiffusionSchedule(timesteps=TSTEPS, k_step=TSTEPS)
+    spec, cond, _ = _inputs()
+    x_t, x_j = _x_init(gd, sched, spec, k_step)
+    steps = k_step // speedup
+    ref = _ref_dpmpp_singlestep(gd, x_t, cond, k_step, steps, order)
+
+    def denoise_fn(xx, tt, cc):
+        return mine.apply(params, xx, tt, cc)
+
+    got = sched.denorm_spec(
+        sched.sample_dpmpp_singlestep(
+            denoise_fn, x_j, k_step, steps, jnp.asarray(cond), order=order
+        )
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=5e-4)
+
+
 def test_unit2mel_end_to_end_smoke():
     model = Unit2Mel(
         input_channel=24,
@@ -346,3 +390,35 @@ def test_unipc_bh2_few_steps_matches_reference():
 
 def test_unipc_bh2_many_steps_matches_reference():
     _run_unipc_case(k_step=40, speedup=2)  # 20 steps
+
+
+def test_unipc_bh1_matches_reference():
+    """bh1 variant parity (uni_pc.py:238+ B(h) = h branch)."""
+    from diffusion.uni_pc import NoiseScheduleVP, UniPC, model_wrapper
+
+    ref_net, mine, params = _ref_pair()
+    gd = _ref_gaussian(ref_net)
+    sched = DiffusionSchedule(timesteps=TSTEPS, k_step=TSTEPS)
+    spec, cond, _ = _inputs()
+    k_step, steps = 40, 20
+    x_t, x_j = _x_init(gd, sched, spec, k_step)
+
+    ns = NoiseScheduleVP(schedule="discrete", betas=gd.betas[:k_step])
+    cond_t = torch.from_numpy(cond.transpose(0, 2, 1))
+    model_fn = model_wrapper(
+        gd.denoise_fn, ns, model_type="noise", model_kwargs={"cond": cond_t}
+    )
+    solver = UniPC(model_fn, ns, variant="bh1")
+    with torch.no_grad():
+        x = solver.sample(x_t, steps=steps, order=2,
+                          skip_type="time_uniform", method="multistep")
+    ref = gd.denorm_spec(x.squeeze(1).transpose(1, 2)).numpy()
+
+    def denoise_fn(xx, tt, cc):
+        return mine.apply(params, xx, tt, cc)
+
+    got = sched.denorm_spec(
+        sched.sample_unipc_bh2(denoise_fn, x_j, k_step, steps,
+                               jnp.asarray(cond), variant="bh1")
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=5e-4)

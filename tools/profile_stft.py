@@ -169,15 +169,21 @@ def main():
     mel_all = jax.jit(lambda s: spec_to_mel(s, **mel_kw))(batch["spec"])
     y_mel = slice_segments(mel_all, ids0, seg_frames)
 
-    def d_loss_fn(d_p):
-        r_logits, f_logits, _, _ = disc.apply({"params": d_p}, y_seg, y_hat0)
+    def d_loss_fn(d_p, y_seg_, y_hat_):
+        r_logits, f_logits, _, _ = disc.apply({"params": d_p}, y_seg_, y_hat_)
         return discriminator_loss(r_logits, f_logits)[0]
 
-    sub("D step grad:", lambda: jax.tree.leaves(jax.grad(d_loss_fn)(d_params))[0])
+    t_ = scan_time(lambda dp, a, b2: jax.tree.leaves(jax.grad(d_loss_fn)(dp, a, b2))[0],
+                   d_params, y_seg, y_hat0)
+    print(f"{'D step grad:':28s}{t_*1e3:7.3f} ms")
 
-    def g_loss_fn(g_p):
+    def g_loss_fn(g_p, batch, y_seg, y_mel):
         (y_hat_g, _ids, spec_mask, (z, z_p, m_p, logs_p, m_q, logs_q),
-         pred_lf0, norm_lf0, lf0) = gen_forward(g_p)
+         pred_lf0, norm_lf0, lf0) = syn.apply(
+            {"params": g_p}, batch["c"], batch["f0"], batch["uv"],
+            batch["spec"], batch["spk"], batch["lengths"], vol=batch["volume"],
+            deterministic=False, rngs=rngs,
+        )
         y_hat_mel = mel_spectrogram(
             y_hat_g[..., 0], hop_length=hop, win_length=hps.data.win_length,
             **mel_kw,
@@ -192,11 +198,13 @@ def main():
         )
         return loss
 
-    sub("G step grad (full loss):", lambda: jax.tree.leaves(jax.grad(g_loss_fn)(g_params))[0])
+    t_ = scan_time(lambda gp, bt, ys, ym: jax.tree.leaves(jax.grad(g_loss_fn)(gp, bt, ys, ym))[0],
+                   g_params, batch, y_seg, y_mel)
+    print(f"{'G step grad (full loss):':28s}{t_*1e3:7.3f} ms")
 
     g_tx = strain.make_optimizer(hps)
     g_opt = jax.jit(g_tx.init)(g_params)
-    g_grads = jax.jit(jax.grad(g_loss_fn))(g_params)
+    g_grads = jax.jit(jax.grad(g_loss_fn))(g_params, batch, y_seg, y_mel)
 
     def opt_update(grads, opt_state, params):
         upd, new_opt = g_tx.update(grads, opt_state, params)
