@@ -7,4 +7,4 @@ from .mesh import (
     replicated,
     shard_batch,
 )
-from .sharding import param_spec, shard_params
+from .sharding import param_spec, shard_params, tree_shardings

@@ -24,15 +24,25 @@ def param_spec(path: tuple, value, min_size: int = 128) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh, min_size: int = 128):
-    """Place a param tree (or a whole train state) on the mesh with the
-    model-axis partitioning rule, divisibility permitting."""
+def tree_shardings(tree, mesh: Mesh, min_size: int = 128):
+    """NamedSharding tree for a param tree (or a whole train state) under
+    the model-axis partitioning rule, divisibility permitting. Pass this as
+    jit in_shardings/out_shardings so the compiled step KEEPS parameters
+    and optimizer moments sharded across updates (no silent re-replication)."""
     model_size = mesh.shape["model"]
 
-    def place(path, x):
+    def one(path, x):
         spec = param_spec(path, x, min_size)
         if any(s == "model" for s in spec) and np.shape(x)[-1] % model_size != 0:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(one, tree)
+
+
+def shard_params(params, mesh: Mesh, min_size: int = 128):
+    """Place a param tree (or a whole train state) on the mesh with the
+    model-axis partitioning rule, divisibility permitting."""
+    return jax.tree_util.tree_map(
+        jax.device_put, params, tree_shardings(params, mesh, min_size)
+    )

@@ -76,11 +76,16 @@ def make_train_step(
     d_tx: optax.GradientTransformation,
     hps,
     jit_compile: bool = True,
+    state_shardings=None,
 ) -> Callable:
     """Build the train step closed over static modules/config.
 
     jit_compile=False returns the raw traceable body (for embedding in an
-    outer scan, e.g. the benchmark's device-side loop)."""
+    outer scan, e.g. the benchmark's device-side loop).
+    state_shardings (a GanTrainState tree of NamedShardings, see
+    parallel.tree_shardings) pins the jit's state input AND output layout,
+    so FSDP-style model-axis parameter sharding survives the optimizer
+    update instead of being silently re-replicated by propagation."""
 
     hop = hps.data.hop_length
     seg_frames = hps.train.segment_size // hop
@@ -201,5 +206,12 @@ def make_train_step(
         return new_state, metrics
 
     if jit_compile:
+        if state_shardings is not None:
+            return jax.jit(
+                train_step,
+                donate_argnums=(0,),
+                in_shardings=(state_shardings, None, None),
+                out_shardings=(state_shardings, None),
+            )
         return jax.jit(train_step, donate_argnums=(0,))
     return train_step

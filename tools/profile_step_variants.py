@@ -26,7 +26,7 @@ def loop_time(step_fn, state, iters=20):
         st, _ = jax.lax.scan(body, state, jnp.arange(iters, dtype=jnp.int32))
         return st
 
-    jitted = jax.jit(loop, donate_argnums=(0,))
+    jitted = jax.jit(loop)
     state = jitted(state)
     jax.block_until_ready(jax.tree.leaves(state)[0])
     np.asarray(jax.tree.leaves(state)[0].reshape(-1)[0])
@@ -128,52 +128,56 @@ def main():
             + jnp.mean((pred_lf0 - lf0) ** 2)
         )
 
-    def v_g_grad(carry, i):
-        g = jax.grad(g_loss_fn)(g_params, i)
-        return carry + tree_sum(g)
+    def v_g_grad(state, i):
+        carry, gp = state
+        g = jax.grad(g_loss_fn)(gp, i)
+        return (carry + tree_sum(g), gp)
 
-    print(f"{'G grad (full loss, all grads)':34s}{loop_time(v_g_grad, jnp.zeros(()))*1e3:8.2f} ms")
+    print(f"{'G grad (full loss, all grads)':34s}{loop_time(v_g_grad, (jnp.zeros(()), g_params))*1e3:8.2f} ms")
 
     # C: D grad (all grads)
-    def d_loss_fn(d_p, i):
+    def d_loss_fn(d_p, gp, i):
         rngs = make_rngs(i)
-        y_hat, ids, *_ = gen_forward(g_params, rngs)
+        y_hat, ids, *_ = gen_forward(gp, rngs)
         y_hat = jax.lax.stop_gradient(y_hat)
         y_seg = slice_segments(batch["wav"], jax.lax.stop_gradient(ids) * hop, seg_samples)
         r_logits, f_logits, _, _ = disc.apply({"params": d_p}, y_seg, y_hat)
         return discriminator_loss(r_logits, f_logits)[0]
 
-    def v_d_grad(carry, i):
-        g = jax.grad(d_loss_fn)(d_params, i)
-        return carry + tree_sum(g)
+    def v_d_grad(state, i):
+        carry, dp, gp = state
+        g = jax.grad(d_loss_fn)(dp, gp, i)
+        return (carry + tree_sum(g), dp, gp)
 
-    print(f"{'D grad (incl gen fwd, all grads)':34s}{loop_time(v_d_grad, jnp.zeros(()))*1e3:8.2f} ms")
+    print(f"{'D grad (incl gen fwd, all grads)':34s}{loop_time(v_d_grad, (jnp.zeros(()), d_params, g_params))*1e3:8.2f} ms")
 
     # D: optimizer updates only (fixed grads as state)
     g_tx = strain.make_optimizer(hps)
     d_tx = strain.make_optimizer(hps)
     g_grads = jax.jit(jax.grad(g_loss_fn))(g_params, 0)
-    d_grads = jax.jit(jax.grad(d_loss_fn))(d_params, 0)
+    d_grads = jax.jit(jax.grad(d_loss_fn))(d_params, g_params, 0)
     opt_state = (
         g_params, d_params,
         jax.jit(g_tx.init)(g_params), jax.jit(d_tx.init)(d_params),
+        g_grads, d_grads,
     )
 
     def v_opt(state, i):
-        g_p, d_p, g_o, d_o = state
-        gu, g_o = g_tx.update(g_grads, g_o, g_p)
+        g_p, d_p, g_o, d_o, gg, dg = state
+        gu, g_o = g_tx.update(gg, g_o, g_p)
         g_p = optax.apply_updates(g_p, gu)
-        du, d_o = d_tx.update(d_grads, d_o, d_p)
+        du, d_o = d_tx.update(dg, d_o, d_p)
         d_p = optax.apply_updates(d_p, du)
-        return (g_p, d_p, g_o, d_o)
+        return (g_p, d_p, g_o, d_o, gg, dg)
 
     print(f"{'optimizer updates (G+D)':34s}{loop_time(v_opt, opt_state)*1e3:8.2f} ms")
 
     # E: grad norms
-    def v_norms(carry, i):
-        return carry + optax.global_norm(g_grads) + optax.global_norm(d_grads)
+    def v_norms(state, i):
+        carry, gg, dg = state
+        return (carry + optax.global_norm(gg) + optax.global_norm(dg), gg, dg)
 
-    print(f"{'global_norm(G)+global_norm(D)':34s}{loop_time(v_norms, jnp.zeros(()))*1e3:8.2f} ms")
+    print(f"{'global_norm(G)+global_norm(D)':34s}{loop_time(v_norms, (jnp.zeros(()), g_grads, d_grads))*1e3:8.2f} ms")
 
     # F: the real fused step
     raw_step = strain.make_train_step(syn, disc, g_tx, d_tx, hps, jit_compile=False)
