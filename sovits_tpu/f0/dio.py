@@ -50,10 +50,15 @@ class DioF0Predictor(F0Predictor):
         from .. import native
 
         fast = not self.exact and native.world_available()
+        # fast mode decimates the band analysis to ~4 kHz via WORLD's own
+        # DioOption::speed knob (dio.cpp decimates identically when
+        # speed>1); the exact oracle keeps speed=1 as the reference's
+        # pyworld call does
+        speed = 1 if self.exact else max(1, min(12, int(fs / 4000.0)))
         tpos, f0 = world_dio_py(
             wav, fs, frame_period=frame_period,
             filter_dtype=np.float64 if self.exact else np.float32,
-            native_candidates=fast, **kwargs,
+            native_candidates=fast, speed=speed, **kwargs,
         )
         if fast:
             return tpos, native.world_stonemask(wav, fs, tpos, f0)

@@ -23,6 +23,18 @@ EPS = 0.000000000001  # WORLD's kMySafeGuardMinimum
 MAX_SCORE = 100000.0
 
 
+def decimate(x: np.ndarray, ratio: int) -> np.ndarray:
+    """MATLAB-style decimate as WORLD's matlabfunctions uses it: 8th-order
+    Chebyshev-I (0.05 dB ripple) at 0.8*nyquist/ratio, zero-phase
+    (filtfilt), every ratio-th sample."""
+    if ratio == 1:
+        return x.copy()
+    from scipy import signal as sps
+
+    b, a = sps.cheby1(8, 0.05, 0.8 / ratio)
+    return sps.filtfilt(b, a, x)[::ratio]
+
+
 def _suitable_fft_size(n: int) -> int:
     return 1 << int(np.ceil(np.log2(max(n, 1))))
 
@@ -239,6 +251,7 @@ def dio(
     allowed_range: float = 0.1,
     filter_dtype=np.float64,
     native_candidates: bool = False,
+    speed: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
     """WORLD DIO. Returns (temporal_positions [s], f0 [Hz], 0 = unvoiced).
 
@@ -247,19 +260,29 @@ def dio(
     `_band_filtered_signals`); float64 is the parity-oracle default.
     ``native_candidates=True`` runs the loop-heavy track-extraction +
     candidate scoring in C++ (native/world_f0.cpp, same operations) when
-    the library is available; the pure-numpy path is the oracle."""
+    the library is available; the pure-numpy path is the oracle.
+    ``speed`` is WORLD's DioOption::speed decimation ratio (1..12): the
+    band analysis runs on the MATLAB-decimated signal at fs/speed, exactly
+    as dio.cpp's DioGeneralBody; the reference's pyworld call leaves it at
+    the default 1 (no decimation)."""
     x = np.asarray(x, np.float64)
     n_bands = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
     boundaries = f0_floor * 2.0 ** (np.arange(1, n_bands + 1) / channels_in_octave)
 
-    y_length = len(x)
-    n_frames = int(y_length / fs * 1000.0 / frame_period) + 1
+    # frame grid from the ORIGINAL signal length/rate (decimation must not
+    # change the contract)
+    n_frames = int(len(x) / fs * 1000.0 / frame_period) + 1
     temporal_positions = np.arange(n_frames) * frame_period / 1000.0
+
+    ratio = int(np.clip(speed, 1, 12))
+    y = decimate(x, ratio)
+    fs = fs / ratio
+    y_length = len(y)
 
     candidates = np.zeros((n_bands, n_frames))
     scores = np.full((n_bands, n_frames), MAX_SCORE)
     filtered_bands = _band_filtered_signals(
-        x, boundaries, fs, filter_dtype=filter_dtype
+        y, boundaries, fs, filter_dtype=filter_dtype
     )
     native_mod = None
     if native_candidates:

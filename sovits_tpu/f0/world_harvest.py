@@ -39,6 +39,7 @@ from .world_dio import (
     _get_mean_f0_grouped,
     _interp1,
     _suitable_fft_size,
+    decimate,
     nuttall_window,
 )
 
@@ -57,30 +58,16 @@ SMOOTH_B = (0.0078202080334971724, 0.015640416066994345, 0.0078202080334971724)
 SMOOTH_A = (1.7347257688092754, -0.76600660094326412)
 
 
-def _decimate(x: np.ndarray, ratio: int) -> np.ndarray:
-    """MATLAB-style decimate: 8th-order Chebyshev-I (0.05 dB ripple) at
-    0.8*nyquist/ratio, zero-phase (filtfilt), every ratio-th sample."""
-    if ratio == 1:
-        return x.copy()
-    b, a = sps.cheby1(8, 0.05, 0.8 / ratio)
-    return sps.filtfilt(b, a, x)[::ratio]
+def _band_half_width(actual_fs: float, boundary_f0: float) -> int:
+    return int(round(actual_fs / boundary_f0 * 2.0))  # two periods
 
 
-def _band_candidates_one(
-    y_spec: np.ndarray, fft_size: int, y_length: int, actual_fs: float,
-    boundary_f0: float, f0_floor: float, f0_ceil: float,
-    temporal_positions: np.ndarray,
+def _band_candidate_from_filtered(
+    filtered: np.ndarray, actual_fs: float, boundary_f0: float,
+    f0_floor: float, f0_ceil: float, temporal_positions: np.ndarray,
 ) -> np.ndarray:
-    """Raw candidate contour for one boundary channel (stage 2+3)."""
-    half = int(round(actual_fs / boundary_f0 * 2.0))  # two periods
-    n = half * 2 + 1
-    w = nuttall_window(n)
-    carrier = np.cos(2 * np.pi * boundary_f0 * np.arange(n) / actual_fs)
-    fir = np.zeros(fft_size)
-    fir[:n] = w * carrier
-    filt = sfft.irfft(sfft.rfft(fir, workers=-1) * y_spec, fft_size, workers=-1)
-    filtered = filt[half : half + y_length]
-
+    """Raw candidate contour for one boundary channel (stage 3), numpy
+    oracle for native world_harvest_band_candidates."""
     tracks = _four_tracks(filtered, actual_fs)
     if not all(len(loc) > 2 for loc, _ in tracks):
         return np.zeros(len(temporal_positions))
@@ -109,22 +96,26 @@ def _detect_official_candidates(raw: np.ndarray, max_candidates: int) -> np.ndar
     consecutive channels with nonzero candidates yields one candidate (the
     run mean) — a single isolated channel is treated as noise."""
     n_ch, n_frames = raw.shape
+    # flatten frame-major with a guard channel of zeros so no run spans two
+    # frames; vertical runs become maximal 1-D runs of the flat mask
+    g = np.concatenate([raw.T, np.zeros((n_frames, 1))], axis=1).reshape(-1)
+    nz = g > 0.0
+    d = np.diff(nz.astype(np.int8), prepend=np.int8(0))
+    starts = np.where(d == 1)[0]
+    ends = np.where(d == -1)[0]  # g[end] == 0, run = [start, end)
+    lens = ends - starts
+    keep = lens >= 2  # a single isolated channel is treated as noise
+    starts, ends, lens = starts[keep], ends[keep], lens[keep]
+    csum = np.concatenate([[0.0], np.cumsum(g)])
+    means = (csum[ends] - csum[starts]) / lens
+    frames = starts // (n_ch + 1)
+    # occurrence rank within each frame (starts ascend, so order matches
+    # the bottom-up channel scan)
+    first = np.searchsorted(frames, np.arange(n_frames), side="left")
+    ranks = np.arange(len(frames)) - first[frames]
+    ok = ranks < max_candidates
     out = np.zeros((n_frames, max_candidates))
-    nz = raw > 0.0
-    # run boundaries per frame, vectorized over channels
-    starts = nz & ~np.vstack([np.zeros((1, n_frames), bool), nz[:-1]])
-    for t in range(n_frames):
-        col = raw[:, t]
-        st = np.where(starts[:, t])[0]
-        k = 0
-        for s in st:
-            e = s
-            while e + 1 < n_ch and col[e + 1] > 0.0:
-                e += 1
-            if e > s:  # run length >= 2 channels
-                if k < max_candidates:
-                    out[t, k] = col[s : e + 1].mean()
-                    k += 1
+    out[frames[ok], ranks[ok]] = means[ok]
     return out
 
 
@@ -177,28 +168,43 @@ def _remove_unreliable(cands: np.ndarray, scores: np.ndarray) -> None:
     neighbour frame holds some candidate within 5% of it. Agreement is
     checked against a snapshot of the candidate matrix — removals must not
     cascade along the time axis."""
-    n_frames, _k = cands.shape
+    n_frames, k = cands.shape
     frozen = cands.copy()
-    for t in range(n_frames):
-        live = frozen[t] > 0.0
-        if not live.any():
-            continue
-        ok = live.copy()
-        for dt in (-1, 1):
-            u = t + dt
-            if u < 0 or u >= n_frames:
-                continue
-            neigh = frozen[u][frozen[u] > 0.0]
-            if len(neigh) == 0:
-                ok[:] = False
-                break
-            err = np.abs(frozen[t][:, None] - neigh[None, :]) / (
-                frozen[t][:, None] + EPS
-            )
-            ok &= err.min(axis=1) <= UNRELIABLE_THRESHOLD
-        kill = live & ~ok
-        cands[t][kill] = 0.0
-        scores[t][kill] = 0.0
+    live = frozen > 0.0
+    ok = live.copy()
+    sorted_rows = np.sort(np.where(live, frozen, 1e9), axis=1)
+    for dt in (-1, 1):
+        # neigh[t] = frozen[t + dt]; frames whose neighbour is out of range
+        # carry no constraint from this direction
+        if dt == -1:
+            tt = slice(1, n_frames)
+            rows = sorted_rows[:-1]
+        else:
+            tt = slice(0, n_frames - 1)
+            rows = sorted_rows[1:]
+        cur = frozen[tt]
+        # nearest live neighbour-candidate per current candidate via one
+        # global searchsorted: each sorted neighbour row is lifted by a
+        # per-row offset far above any f0, making the flattened array
+        # monotone; empty slots carry a 1e9 sentinel below the offset step
+        # so an empty neighbour frame yields a huge deviation (kills the
+        # whole frame, as WORLD does)
+        lift = 4e9
+        n = cur.shape[0]
+        offs = np.arange(n) * lift
+        flat = (rows + offs[:, None]).reshape(-1)
+        q = cur + offs[:, None]
+        hi = np.searchsorted(flat, q.reshape(-1)).reshape(n, k)
+        lo = hi - 1
+        row0 = np.arange(n)[:, None] * k
+        hi_v = flat[np.minimum(hi, row0 + k - 1)]
+        lo_v = flat[np.maximum(lo, row0)]
+        near = np.minimum(np.abs(hi_v - q), np.abs(q - lo_v))
+        merr = near / (cur + EPS)
+        ok[tt] &= merr <= UNRELIABLE_THRESHOLD
+    kill = live & ~ok
+    cands[kill] = 0.0
+    scores[kill] = 0.0
 
 
 def _voiced_sections(f0: np.ndarray) -> list[tuple[int, int]]:
@@ -313,7 +319,7 @@ def harvest(
     boundaries = adj_floor * 2.0 ** (np.arange(1, n_channels + 1) / CHANNELS_IN_OCTAVE)
 
     ratio = int(np.clip(fs / TARGET_FS, 1, 12))
-    y = _decimate(x, ratio)
+    y = decimate(x, ratio)
     actual_fs = fs / ratio
     y = y - y.mean()
     y_length = len(y)
@@ -322,22 +328,67 @@ def harvest(
     basic_positions = np.arange(n_basic) * BASIC_FRAME_PERIOD_MS / 1000.0
 
     fft_size = _suitable_fft_size(
-        y_length + 1 + 2 * int(round(actual_fs / boundaries[0] * 2.0) * 2 + 1)
+        y_length + 1 + 2 * (_band_half_width(actual_fs, boundaries[0]) * 2 + 1)
     )
-    y_spec = sfft.rfft(y, fft_size, workers=-1)
 
+    native_mod = None
+    if use_native:
+        from .. import native as native_mod_  # lazy: optional toolchain
+
+        if native_mod_.world_available():
+            native_mod = native_mod_
+
+    # the fast path filters in float32 (~1e-6-relative rounding, same
+    # trade as DIO's fast mode — estimation error dominates); the numpy
+    # oracle keeps float64
+    filter_dtype = np.float64 if native_mod is None else np.float32
+    y_spec = sfft.rfft(y.astype(filter_dtype), fft_size, workers=-1)
+
+    # stage 2 batched: FIR spectra, filtering, and inverse transforms run
+    # as 2-D pocketfft calls over channel chunks (one r2c/c2r each instead
+    # of one per channel); stage 3 extracts candidates per channel (C++
+    # fast path, numpy oracle otherwise)
     raw = np.zeros((n_channels, n_basic))
-    for b_i, boundary in enumerate(boundaries):
-        raw[b_i] = _band_candidates_one(
-            y_spec, fft_size, y_length, actual_fs, boundary,
-            adj_floor, adj_ceil, basic_positions,
+    chunk = 16
+    grid = np.arange(fft_size)
+    for s in range(0, n_channels, chunk):
+        bnd = boundaries[s : s + chunk]
+        firs = np.zeros((len(bnd), fft_size), filter_dtype)
+        for j, boundary in enumerate(bnd):
+            half = _band_half_width(actual_fs, boundary)
+            n = half * 2 + 1
+            firs[j, :n] = nuttall_window(n) * np.cos(
+                2 * np.pi * boundary * grid[:n] / actual_fs
+            )
+        filt = sfft.irfft(
+            sfft.rfft(firs, axis=1, workers=-1) * y_spec[None, :],
+            fft_size, axis=1, workers=-1,
         )
+        for j, boundary in enumerate(bnd):
+            half = _band_half_width(actual_fs, boundary)
+            filtered = filt[j, half : half + y_length]
+            if native_mod is not None:
+                raw[s + j] = native_mod.world_harvest_band_candidates(
+                    filtered, actual_fs, boundary, adj_floor, adj_ceil,
+                    TRACK_AGREEMENT, basic_positions,
+                )
+            else:
+                raw[s + j] = _band_candidate_from_filtered(
+                    filtered, actual_fs, boundary, adj_floor, adj_ceil,
+                    basic_positions,
+                )
 
     max_candidates = max(1, int(round(n_channels / 10.0)))
     cands = _detect_official_candidates(raw, max_candidates)
     cands = _overlap_candidates(cands, MAX_CANDIDATE_OVERLAP)
+    # refinement runs on the DECIMATED signal, as harvest.cpp's
+    # RefineF0Candidates does (its y/actual_fs come from
+    # GetWaveformAndSpectrum) — the ~8 kHz band still covers the six
+    # harmonics used for typical voice f0, and the windows are ratio-times
+    # shorter than at the original rate
     cands, scores = _refine_candidates(
-        x, fs, basic_positions, cands, f0_floor, f0_ceil, use_native=use_native
+        y, actual_fs, basic_positions, cands, f0_floor, f0_ceil,
+        use_native=use_native,
     )
     _remove_unreliable(cands, scores)
     f0_1ms = _fix_contour(cands, scores)

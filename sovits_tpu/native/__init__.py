@@ -61,6 +61,12 @@ def _load_world():
             dbl_p, dbl_p,
         ]
         lib.world_band_candidates_f.restype = None
+        lib.world_harvest_band_candidates.argtypes = [
+            dbl_p, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, dbl_p,
+            ctypes.c_int64, dbl_p,
+        ]
+        lib.world_harvest_band_candidates.restype = None
         lib.world_fix_steps.argtypes = [
             dbl_p, dbl_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, dbl_p,
@@ -130,6 +136,27 @@ def world_band_candidates(
         cand.ctypes.data_as(dbl_p), score.ctypes.data_as(dbl_p),
     )
     return cand, score
+
+
+def world_harvest_band_candidates(
+    filtered: np.ndarray, fs: float, boundary_f0: float, f0_floor: float,
+    f0_ceil: float, track_agreement: float, temporal_positions: np.ndarray,
+) -> np.ndarray:
+    """Harvest raw candidate contour for one band-filtered channel."""
+    lib = _load_world()
+    if lib is None:
+        raise RuntimeError("native world_f0 library unavailable")
+    filtered = np.ascontiguousarray(filtered, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    cand = np.empty(len(tpos), np.float64)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.world_harvest_band_candidates(
+        filtered.ctypes.data_as(dbl_p), len(filtered), float(fs),
+        float(boundary_f0), float(f0_floor), float(f0_ceil),
+        float(track_agreement), tpos.ctypes.data_as(dbl_p), len(tpos),
+        cand.ctypes.data_as(dbl_p),
+    )
+    return cand
 
 
 def world_fix_steps(best: np.ndarray, candidates: np.ndarray,

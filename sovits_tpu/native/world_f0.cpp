@@ -283,6 +283,56 @@ void world_band_candidates_f(const float* filtered, int64_t y_length,
                                candidate, score);
 }
 
+// Harvest's per-channel raw candidate contour (world_harvest.py
+// _band_candidate_from_filtered): mean of the four event tracks at each
+// frame, gated on +-10% of the channel boundary, the f0 bounds, and the
+// four tracks agreeing within track_agreement of the candidate.
+void world_harvest_band_candidates(const double* filtered, int64_t y_length,
+                                   double fs, double boundary_f0,
+                                   double f0_floor, double f0_ceil,
+                                   double track_agreement,
+                                   const double* temporal_positions,
+                                   int64_t n_frames, double* candidate) {
+  Track tracks[4];
+  four_tracks(filtered, int(y_length), fs, tracks);
+  for (int k = 0; k < 4; ++k) {
+    if (tracks[k].locations.size() <= 2) {
+      for (int64_t i = 0; i < n_frames; ++i) candidate[i] = 0.0;
+      return;
+    }
+  }
+  // frame positions ascend, so each track is swept with a cursor instead
+  // of a fresh binary search per query (same bracket, same arithmetic)
+  size_t cur[4] = {0, 0, 0, 0};
+  for (int64_t i = 0; i < n_frames; ++i) {
+    const double q = temporal_positions[i];
+    double vals[4];
+    double mean = 0.0;
+    for (int k = 0; k < 4; ++k) {
+      const auto& loc = tracks[k].locations;
+      const auto& f0v = tracks[k].f0;
+      while (cur[k] + 2 < loc.size() && loc[cur[k] + 1] <= q) ++cur[k];
+      if (q <= loc.front()) {
+        vals[k] = f0v.front();
+      } else if (q >= loc.back()) {
+        vals[k] = f0v.back();
+      } else {
+        const size_t lo = cur[k];
+        const double w = (q - loc[lo]) / (loc[lo + 1] - loc[lo]);
+        vals[k] = f0v[lo] * (1.0 - w) + f0v[lo + 1] * w;
+      }
+      mean += vals[k];
+    }
+    mean /= 4.0;
+    double dev = 0.0;
+    for (int k = 0; k < 4; ++k) dev = std::max(dev, std::fabs(vals[k] - mean));
+    const bool bad = mean > boundary_f0 * 1.1 || mean < boundary_f0 * 0.9 ||
+                     mean > f0_ceil || mean < f0_floor ||
+                     dev > mean * track_agreement;
+    candidate[i] = bad ? 0.0 : mean;
+  }
+}
+
 // the four contour-fixing passes over the best-candidate contour
 // (candidates laid out [band][frame], stride n_frames between bands)
 void world_fix_steps(const double* best, const double* candidates,
@@ -464,6 +514,49 @@ void world_dio(const double* x, int64_t x_length, double fs,
   std::memcpy(f0_out, step4.data(), sizeof(double) * n_frames);
 }
 
+// Main+diff spectra of the windowed segment, evaluated at the <=6 harmonic
+// DFT bins in ONE pass over the window. Each harmonic's rotation recurrence
+// is lane-independent, so the k-loop vectorizes (padded to 8 lanes) and
+// wm/wd are streamed once instead of once per harmonic — same per-harmonic
+// op sequence as the scalar formulation (bit-identical results), ~4x less
+// work overall.
+static void harmonic_bins(const double* wm, const double* wd, int wlen,
+                          const int* bins, int nh, int fft_size,
+                          double* mr_out, double* mi_out, double* dr_out,
+                          double* di_out) {
+  constexpr int kLanes = 8;
+  double er[kLanes], ei[kLanes], cs[kLanes], sn[kLanes];
+  double mr[kLanes] = {0}, mi[kLanes] = {0}, dr[kLanes] = {0},
+         di[kLanes] = {0};
+  for (int k = 0; k < kLanes; ++k) {
+    const double ang =
+        k < nh ? 2 * kPi * double(bins[k]) / double(fft_size) : 0.0;
+    cs[k] = std::cos(ang);
+    sn[k] = -std::sin(ang);  // e^{-i ang} step
+    er[k] = 1.0;
+    ei[k] = 0.0;
+  }
+  for (int i = 0; i < wlen; ++i) {
+    const double m = wm[i], d = wd[i];
+#pragma omp simd
+    for (int k = 0; k < kLanes; ++k) {
+      mr[k] += m * er[k];
+      mi[k] += m * ei[k];
+      dr[k] += d * er[k];
+      di[k] += d * ei[k];
+      const double nr = er[k] * cs[k] - ei[k] * sn[k];
+      ei[k] = er[k] * sn[k] + ei[k] * cs[k];
+      er[k] = nr;
+    }
+  }
+  for (int k = 0; k < nh; ++k) {
+    mr_out[k] = mr[k];
+    mi_out[k] = mi[k];
+    dr_out[k] = dr[k];
+    di_out[k] = di[k];
+  }
+}
+
 // GetMeanF0 without the per-frame FFT: only the <=6 harmonic bins of the
 // windowed-segment spectra are ever read, so each is evaluated directly as
 // a DFT sum with a rotation recurrence (error ~n*eps, well under the parity
@@ -516,24 +609,20 @@ static double get_mean_f0(const double* x, int64_t x_length, double fs,
   wd[wlen - 1] = wm[wlen - 1] * (main_window[wlen - 2] / 2.0);
   for (int i = 0; i < wlen; ++i) wm[i] *= main_window[i];
 
+  int bins[6];
+  for (int k = 1; k <= n_harmonics; ++k) {
+    bins[k - 1] = int(std::llround(current_f0 * k * fft_size / fs));
+  }
+  double mr[6], mi[6], dr[6], di[6];
+  harmonic_bins(wm.data(), wd.data(), wlen, bins, n_harmonics, fft_size, mr,
+                mi, dr, di);
   double num = 0.0, den = 0.0;
   for (int k = 1; k <= n_harmonics; ++k) {
-    const int j = int(std::llround(current_f0 * k * fft_size / fs));
-    const double ang = 2 * kPi * double(j) / double(fft_size);
-    const double cs = std::cos(ang), sn = -std::sin(ang);  // e^{-i ang} step
-    double er = 1.0, ei = 0.0;
-    double mr = 0.0, mi = 0.0, dr = 0.0, di = 0.0;
-    for (int i = 0; i < wlen; ++i) {
-      mr += wm[i] * er; mi += wm[i] * ei;
-      dr += wd[i] * er; di += wd[i] * ei;
-      const double nr = er * cs - ei * sn;
-      ei = er * sn + ei * cs;
-      er = nr;
-    }
-    const double power = mr * mr + mi * mi + kEps;
+    const double power = mr[k - 1] * mr[k - 1] + mi[k - 1] * mi[k - 1] + kEps;
     const double inst_freq =
-        double(j) * fs / fft_size +
-        (mr * di - mi * dr) / power * fs / (2.0 * kPi);
+        double(bins[k - 1]) * fs / fft_size +
+        (mr[k - 1] * di[k - 1] - mi[k - 1] * dr[k - 1]) / power * fs /
+            (2.0 * kPi);
     const double amp = std::sqrt(power);
     num += inst_freq * amp;
     den += amp * double(k);
@@ -587,23 +676,21 @@ static void refine_one(const double* x, int64_t x_length, double fs,
   wd[wlen - 1] = wm[wlen - 1] * (win[wlen - 2] / 2.0);
   for (int i = 0; i < wlen; ++i) wm[i] *= win[i];
 
+  int bins[6];
+  for (int k = 1; k <= n_harmonics; ++k) {
+    bins[k - 1] = int(std::llround(current_f0 * k * fft_size / fs));
+  }
+  double mr[6], mi[6], dr[6], di[6];
+  harmonic_bins(wm.data(), wd.data(), wlen, bins, n_harmonics, fft_size, mr,
+                mi, dr, di);
   double inst[6], amp[6];
   double num = 0.0, den = 0.0;
   for (int k = 1; k <= n_harmonics; ++k) {
-    const int j = int(std::llround(current_f0 * k * fft_size / fs));
-    const double ang = 2 * kPi * double(j) / double(fft_size);
-    const double cs = std::cos(ang), sn = -std::sin(ang);
-    double er = 1.0, ei = 0.0, mr = 0.0, mi = 0.0, dr = 0.0, di = 0.0;
-    for (int i = 0; i < wlen; ++i) {
-      mr += wm[i] * er; mi += wm[i] * ei;
-      dr += wd[i] * er; di += wd[i] * ei;
-      const double nr = er * cs - ei * sn;
-      ei = er * sn + ei * cs;
-      er = nr;
-    }
-    const double power = mr * mr + mi * mi + kEps;
-    inst[k - 1] = double(j) * fs / fft_size +
-                  (mr * di - mi * dr) / power * fs / (2.0 * kPi);
+    const double power = mr[k - 1] * mr[k - 1] + mi[k - 1] * mi[k - 1] + kEps;
+    inst[k - 1] =
+        double(bins[k - 1]) * fs / fft_size +
+        (mr[k - 1] * di[k - 1] - mi[k - 1] * dr[k - 1]) / power * fs /
+            (2.0 * kPi);
     amp[k - 1] = std::sqrt(power);
     num += inst[k - 1] * amp[k - 1];
     den += amp[k - 1] * double(k);
