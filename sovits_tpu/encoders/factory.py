@@ -51,7 +51,13 @@ class JaxSpeechEncoder:
         self._fn = jax.jit(lambda v, wav: self.net.apply(v, wav))
         self._bucket_cache = {}
 
-    def encode(self, wav16k: np.ndarray) -> np.ndarray:
+    def encode_async(self, wav16k: np.ndarray):
+        """Dispatch the encoder and return a zero-arg materializer.
+
+        The jit call is asynchronous: the device computes while the host
+        does other work (Svc overlaps the f0 predictor's host DSP with
+        it); calling the returned closure blocks and yields the [T, H]
+        numpy features."""
         wav = np.asarray(wav16k, dtype=np.float32)
         if self.pad:
             wav = np.pad(wav, (40, 40))
@@ -59,8 +65,11 @@ class JaxSpeechEncoder:
         # bucket to multiples of 1 s to bound recompiles
         bucket = int(np.ceil(len(wav) / 16000)) * 16000
         wav = np.pad(wav, (0, bucket - len(wav)))
-        out = np.asarray(self._fn(self.variables, jnp.asarray(wav[None])))[0]
-        return out[:n_frames]
+        out = self._fn(self.variables, jnp.asarray(wav[None]))
+        return lambda: np.asarray(out)[0, :n_frames]
+
+    def encode(self, wav16k: np.ndarray) -> np.ndarray:
+        return self.encode_async(wav16k)()
 
 
 def load_torch_state_dict(path: str) -> dict:

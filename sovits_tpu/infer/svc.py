@@ -179,13 +179,22 @@ class Svc:
                 sampling_rate=self.target_sample,
                 threshold=cr_threshold,
             )
+        # dispatch the device-side encoder FIRST (async), then run the f0
+        # predictor's host DSP while the chip works — the two are
+        # independent and this overlap hides the cheaper of the two
+        wav16k = resample(wav, self.target_sample, 16000)
+        encode_async = getattr(self.encoder, "encode_async", None)
+        pending = encode_async(wav16k) if encode_async is not None else None
+
         f0, uv = self.f0_predictor_object.compute_f0_uv(wav)
         if f0_filter and float(np.sum(f0)) == 0.0:
             raise F0FilterException("No voice detected")
         f0 = f0 * 2 ** (tran / 12)
 
-        wav16k = resample(wav, self.target_sample, 16000)
-        units = np.asarray(self.encoder.encode(wav16k))  # [T_units, H]
+        if pending is not None:
+            units = pending()  # [T_units, H]
+        else:
+            units = np.asarray(self.encoder.encode(wav16k))  # [T_units, H]
         units = np.asarray(
             repeat_expand(jnp.asarray(units), len(f0), self.unit_interpolate_mode)
         )
