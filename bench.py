@@ -63,10 +63,12 @@ def main():
     n_samples = t_frames * hop
 
     rng = np.random.default_rng(0)
-    # a voiced-ish test signal so DIO does real work
+    # a voiced-ish test signal so DIO does real work: 170 Hz with vibrato,
+    # phase-integrated (sin(2*pi*f(t)*t) would chirp as t grows)
     t = np.arange(int(sr * SECONDS)) / sr
+    inst_f = 170.0 + 30.0 * np.sin(2 * np.pi * 0.7 * t)
     wav = (
-        0.25 * np.sin(2 * np.pi * (170 + 30 * np.sin(2 * np.pi * 0.7 * t)) * t)
+        0.25 * np.sin(2 * np.pi * np.cumsum(inst_f) / sr)
         + 0.02 * rng.standard_normal(len(t))
     ).astype(np.float32)
 

@@ -151,12 +151,16 @@ class MultiPeriodDiscriminator(nn.Module):
             )
             for p in self.periods
         ]
+        # one pass per sub-discriminator over [y; y_hat] stacked on batch —
+        # identical math (convs are batch-parallel), half the kernel count
+        # and twice the arithmetic per launch vs separate y / y_hat calls
+        b = y.shape[0]
+        both = jnp.concatenate([y, y_hat], axis=0)
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for d in discs:
-            logit_r, fmap_r = d(y)
-            logit_g, fmap_g = d(y_hat)
-            y_d_rs.append(logit_r)
-            y_d_gs.append(logit_g)
-            fmap_rs.append(fmap_r)
-            fmap_gs.append(fmap_g)
+            logit, fmap = d(both)
+            y_d_rs.append(logit[:b])
+            y_d_gs.append(logit[b:])
+            fmap_rs.append([f[:b] for f in fmap])
+            fmap_gs.append([f[b:] for f in fmap])
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs

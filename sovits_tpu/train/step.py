@@ -33,6 +33,10 @@ from .losses import discriminator_loss, feature_loss, generator_loss, kl_loss
 
 
 def make_optimizer(hps) -> optax.GradientTransformation:
+    # NOTE: optax.flatten was tried here and measured WORSE on v5e (57 vs
+    # 44 ms/step device time): the per-step concatenation of ~400 MB of
+    # params+grads into one vector costs more than the per-leaf op
+    # dispatch it saves.
     return optax.inject_hyperparams(optax.adamw)(
         learning_rate=hps.train.learning_rate,
         b1=hps.train.betas[0],

@@ -152,8 +152,10 @@ def main():
         gp, _ = jax.lax.scan(body, gp, jnp.arange(ITERS))
         return gp, jax.tree.leaves(gp)[0].astype(jnp.float32).sum()
 
-    g_params = jax.jit(lambda p: p, donate_argnums=0)(g_params)  # fresh copy ok
-    t_g = timed("G fwd+bwd (full loss)", ggrad_loop, g_params)
+    # donating variants each get their own buffer copy — donation frees
+    # the input tree, and g_params/d_params are shared by later variants
+    copy_tree = jax.jit(lambda p: jax.tree.map(lambda a: a + 0, p))
+    t_g = timed("G fwd+bwd (full loss)", ggrad_loop, copy_tree(g_params))
 
     def d_loss_fn(d_p, i):
         y_hat, ids, *_ = gen_forward(g_params, i)
@@ -172,7 +174,8 @@ def main():
         dp, _ = jax.lax.scan(body, dp, jnp.arange(ITERS))
         return dp, jax.tree.leaves(dp)[0].astype(jnp.float32).sum()
 
-    t_d = timed("D fwd+bwd (incl G fwd, stopgrad)", dgrad_loop, d_params)
+    t_d = timed("D fwd+bwd (incl G fwd, stopgrad)", dgrad_loop,
+                copy_tree(d_params))
 
     # ---- optimizer-only ----------------------------------------------
     g_tx = strain.make_optimizer(hps)
@@ -181,24 +184,28 @@ def main():
     d_grads = jax.jit(jax.grad(d_loss_fn))(d_params, jnp.float32(0.0))
 
     def opt_loop(state):
-        gp, dp, go, do = state
+        # grads ride in the donated carry — closing over them would bake
+        # ~400 MB of constants into the HLO (tunnel 413s on the payload)
         def body(st, i):
-            gp, dp, go, do = st
-            gu, go = g_tx.update(g_grads, go, gp)
+            gp, dp, go, do, gg, dg = st
+            gu, go = g_tx.update(gg, go, gp)
             gp = optax.apply_updates(gp, gu)
-            du, do = d_tx.update(d_grads, do, dp)
+            du, do = d_tx.update(dg, do, dp)
             dp = optax.apply_updates(dp, du)
-            return (gp, dp, go, do), None
-        st, _ = jax.lax.scan(body, (gp, dp, go, do), jnp.arange(ITERS))
+            return (gp, dp, go, do, gg, dg), None
+        st, _ = jax.lax.scan(body, state, jnp.arange(ITERS))
         return st, jax.tree.leaves(st[0])[0].astype(jnp.float32).sum()
 
-    opt0 = (g_params, d_params, jax.jit(g_tx.init)(g_params),
-            jax.jit(d_tx.init)(d_params))
+    opt0 = (copy_tree(g_params), copy_tree(d_params),
+            jax.jit(g_tx.init)(g_params), jax.jit(d_tx.init)(d_params),
+            g_grads, d_grads)
     t_o = timed("optimizer updates (G+D, adamw)", opt_loop, opt0)
 
     # ---- full fused step ---------------------------------------------
     raw_step = strain.make_train_step(syn, disc, g_tx, d_tx, hps, jit_compile=False)
-    state0 = strain.create_train_state(g_params, d_params, g_tx, d_tx)
+    state0 = strain.create_train_state(
+        copy_tree(g_params), copy_tree(d_params), g_tx, d_tx
+    )
 
     def full_loop(st):
         def body(s, i):
