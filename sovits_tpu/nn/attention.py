@@ -58,6 +58,38 @@ def _absolute_to_relative(x: jax.Array) -> jax.Array:
     return x_final[:, :, :, 1:]
 
 
+def _band_to_absolute(x: jax.Array, w: int) -> jax.Array:
+    """[B, H, T, 2w+1] banded rel logits -> [B, H, T, T], zeros off-band.
+
+    Exact band variant of `_relative_to_absolute`: A[t, t+o-w] = x[t, o].
+    The flatten-with-stride-(T+1) aliasing places every in-band entry at
+    its diagonal; off-band positions (which alias neighbouring rows) are
+    masked to zero — the positions the padded-table formulation fills
+    with exact zeros anyway.
+    """
+    b, h, t, win = x.shape
+    y = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, t + 1 - win)))
+    a = y.reshape(b, h, t * (t + 1))[:, :, w : w + t * t].reshape(b, h, t, t)
+    band = jnp.abs(jnp.arange(t)[:, None] - jnp.arange(t)[None, :]) <= w
+    return jnp.where(band, a, jnp.zeros((), a.dtype))
+
+
+def _absolute_to_band(p: jax.Array, w: int) -> jax.Array:
+    """[B, H, T, T] attention weights -> [B, H, T, 2w+1] band.
+
+    Exact band variant of `_absolute_to_relative`: x[t, o] = p[t, t+o-w],
+    zero where t+o-w is out of range (the padded-table formulation reads
+    zero-padding there)."""
+    b, h, t, _ = p.shape
+    win = 2 * w + 1
+    z = jnp.pad(p.reshape(b, h, t * t), ((0, 0), (0, 0), (w, t - w)))
+    x = z[:, :, : t * (t + 1)].reshape(b, h, t, t + 1)[:, :, :, :win]
+    o = jnp.arange(win)[None, :]
+    tt = jnp.arange(t)[:, None]
+    valid = (tt + o - w >= 0) & (tt + o - w < t)
+    return jnp.where(valid, x, jnp.zeros((), x.dtype))
+
+
 def _window_relative_embeddings(emb: jax.Array, length: int, window: int) -> jax.Array:
     """Slice/pad the [heads, 2w+1, d] table to [heads, 2L-1, d].
 
@@ -110,9 +142,11 @@ class MultiHeadAttention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum(
-            "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
-        )
+        # scores stay in the module dtype (bf16 under mixed precision - the
+        # reference's fp16 autocast computes them in half too); softmax
+        # upcasts to f32 below. Keeping the scores tensor narrow makes the
+        # backward dq/dk contractions MXU-native instead of f32.
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k)
 
         if self.window_size is not None:
             assert t_s == t_t, "relative attention needs self-attention"
@@ -130,14 +164,24 @@ class MultiHeadAttention(nn.Module):
                 (n_heads_rel, 2 * self.window_size + 1, k_ch),
                 self.param_dtype,
             )
-            key_rel = _window_relative_embeddings(emb_rel_k, t_s, self.window_size)
-            rel_logits = jnp.einsum(
-                "bhtd,gmd->bhtm",
-                q,
-                key_rel.astype(q.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            scores = scores + _relative_to_absolute(rel_logits)
+            if t_s >= 2 * self.window_size + 1:
+                # banded path: the (2w+1)-entry table zero-pads to 2L-1
+                # columns in the reference formulation — only the center
+                # 2w+1 ever carry values, so compute the [T, 2w+1] band
+                # directly and place it on the diagonals (exact: dropped
+                # terms are multiplications with structural zeros)
+                rel_logits = jnp.einsum(
+                    "bhtd,gmd->bhtm", q, emb_rel_k.astype(q.dtype)
+                )
+                scores = scores + _band_to_absolute(rel_logits, self.window_size)
+            else:
+                key_rel = _window_relative_embeddings(
+                    emb_rel_k, t_s, self.window_size
+                )
+                rel_logits = jnp.einsum(
+                    "bhtd,gmd->bhtm", q, key_rel.astype(q.dtype)
+                )
+                scores = scores + _relative_to_absolute(rel_logits)
 
         if self.proximal_bias:
             assert t_s == t_t
@@ -155,11 +199,19 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
 
         if self.window_size is not None:
-            rel_weights = _absolute_to_relative(p_attn)
-            value_rel = _window_relative_embeddings(emb_rel_v, t_s, self.window_size)
-            out = out + jnp.einsum(
-                "bhtm,gmd->bhtd", rel_weights, value_rel.astype(out.dtype)
-            )
+            if t_s >= 2 * self.window_size + 1:
+                band_weights = _absolute_to_band(p_attn, self.window_size)
+                out = out + jnp.einsum(
+                    "bhtm,gmd->bhtd", band_weights, emb_rel_v.astype(out.dtype)
+                )
+            else:
+                rel_weights = _absolute_to_relative(p_attn)
+                value_rel = _window_relative_embeddings(
+                    emb_rel_v, t_s, self.window_size
+                )
+                out = out + jnp.einsum(
+                    "bhtm,gmd->bhtd", rel_weights, value_rel.astype(out.dtype)
+                )
 
         out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         # Output projection keeps torch's default conv init (not xavier).
