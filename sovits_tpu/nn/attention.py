@@ -31,6 +31,9 @@ from .conv import Conv1d
 
 xavier_init = nn.initializers.xavier_uniform()
 
+# fused-attention VMEM budget: [T, T] f32 scores per (batch, head) program
+_FUSED_MAX_T = 1024
+
 
 def _relative_to_absolute(x: jax.Array) -> jax.Array:
     """[B, H, L, 2L-1] relative logits -> [B, H, L, L] absolute.
@@ -112,6 +115,26 @@ class MultiHeadAttention(nn.Module):
     proximal_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # None = auto (fused Pallas attention on TPU when eligible);
+    # True/False force it on/off. Eligibility: self-attention, shared-head
+    # (or absent) rel table, no proximal bias, T <= _FUSED_MAX_T.
+    use_fused: bool | None = None
+
+    def _fused_eligible(self, t_t: int, t_s: int, causal: bool,
+                        key_mask) -> bool:
+        if self.use_fused is False:
+            return False
+        if self.use_fused is None and jax.default_backend() != "tpu":
+            return False
+        if t_t != t_s or self.proximal_bias or t_t > _FUSED_MAX_T:
+            return False
+        if self.window_size is not None:
+            # band formulation needs the full-table regime + shared heads
+            if not self.heads_share or t_s < 2 * self.window_size + 1:
+                return False
+        elif not causal and key_mask is None:
+            return False  # nothing fused to gain; keep the jnp path
+        return True
 
     @nn.compact
     def __call__(
@@ -120,6 +143,8 @@ class MultiHeadAttention(nn.Module):
         c: jax.Array,  # [B, T_s, C] key/value source
         attn_mask: jax.Array | None = None,  # [.., T_t, T_s], 0 = masked
         deterministic: bool = True,
+        key_mask: jax.Array | None = None,  # [B, T_s] structured alternative
+        causal: bool = False,  # structured alternative to a tril attn_mask
     ) -> jax.Array:
         assert self.channels % self.n_heads == 0
         k_ch = self.channels // self.n_heads
@@ -142,12 +167,7 @@ class MultiHeadAttention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        # scores stay in the module dtype (bf16 under mixed precision - the
-        # reference's fp16 autocast computes them in half too); softmax
-        # upcasts to f32 below. Keeping the scores tensor narrow makes the
-        # backward dq/dk contractions MXU-native instead of f32.
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k)
-
+        emb_rel_k = emb_rel_v = None
         if self.window_size is not None:
             assert t_s == t_t, "relative attention needs self-attention"
             n_heads_rel = 1 if self.heads_share else self.n_heads
@@ -164,6 +184,55 @@ class MultiHeadAttention(nn.Module):
                 (n_heads_rel, 2 * self.window_size + 1, k_ch),
                 self.param_dtype,
             )
+
+        if not self.is_initializing() and self._fused_eligible(
+            t_t, t_s, causal, key_mask
+        ):
+            from ..ops.attention import fused_attention
+
+            h = self.n_heads
+            qf = q.reshape(b * h, t_t, k_ch)
+            kf = k.reshape(b * h, t_s, k_ch)
+            vf = v.reshape(b * h, t_s, k_ch)
+            km = (
+                jnp.repeat(key_mask.astype(qf.dtype), h, axis=0)
+                if key_mask is not None
+                else None
+            )
+            dm = None
+            if self.p_dropout > 0.0 and not deterministic:
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"),
+                    1.0 - self.p_dropout,
+                    (b * h, t_t, t_s),
+                )
+                dm = keep.astype(qf.dtype) / (1.0 - self.p_dropout)
+            out = fused_attention(
+                qf, kf, vf,
+                emb_rel_k[0] if emb_rel_k is not None else None,
+                emb_rel_v[0] if emb_rel_v is not None else None,
+                key_mask=km, drop_mask=dm,
+                window=self.window_size, causal=causal,
+            )
+            out = out.reshape(b, h, t_t, k_ch)
+            out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
+            from .conv import torch_conv_kernel_init
+
+            return nn.Dense(
+                self.out_channels,
+                kernel_init=torch_conv_kernel_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="out",
+            )(out)
+
+        # scores stay in the module dtype (bf16 under mixed precision - the
+        # reference's fp16 autocast computes them in half too); softmax
+        # upcasts to f32 below. Keeping the scores tensor narrow makes the
+        # backward dq/dk contractions MXU-native instead of f32.
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k)
+
+        if self.window_size is not None:
             if t_s >= 2 * self.window_size + 1:
                 # banded path: the (2w+1)-entry table zero-pads to 2L-1
                 # columns in the reference formulation — only the center
@@ -284,6 +353,7 @@ class Encoder(nn.Module):
     window_size: int = 4
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_fused: bool | None = None
 
     @nn.compact
     def __call__(
@@ -303,8 +373,9 @@ class Encoder(nn.Module):
                 window_size=self.window_size,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                use_fused=self.use_fused,
                 name=f"attn_{i}",
-            )(x, x, attn_mask, deterministic)
+            )(x, x, attn_mask, deterministic, key_mask=x_mask[:, :, 0])
             y = drop(y)
             x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm1_{i}")(x + y)
             y = FFN(
@@ -335,6 +406,7 @@ class FFT(nn.Module):
     gin_channels: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_fused: bool | None = None
 
     @nn.compact
     def __call__(
@@ -384,8 +456,9 @@ class FFT(nn.Module):
                 proximal_bias=self.proximal_bias,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                use_fused=self.use_fused,
                 name=f"attn_{i}",
-            )(x, x, causal_mask, deterministic)
+            )(x, x, causal_mask, deterministic, causal=True)
             y = drop(y)
             x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm0_{i}")(x + y)
             y = FFN(
