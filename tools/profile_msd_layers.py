@@ -84,3 +84,51 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def conv_probe_einsum(name, t_in, cin, cout, k, stride, groups):
+    """Grouped conv as im2col + group-batched einsum (MXU batched matmul)."""
+    rng = np.random.default_rng(0)
+    b = 12
+    cg, cog = cin // groups, cout // groups
+    pad = k // 2
+    t_out = (t_in + 2 * pad - k) // stride + 1
+    x = jnp.asarray(rng.standard_normal((b, t_in, cin)) * 0.1, jnp.bfloat16)
+    kern = jnp.asarray(rng.standard_normal((k, cg, cout)) * 0.05, jnp.float32)
+
+    def apply(kern_p, xi):
+        kk = kern_p.astype(jnp.bfloat16).reshape(k, cg, groups, cog)
+        xp = jnp.pad(xi, ((0, 0), (pad, pad), (0, 0)))
+        cols = jnp.stack(
+            [xp[:, tap : tap + t_out * stride : stride] for tap in range(k)],
+            axis=2,
+        )  # [B, T_out, k, C_in]
+        cols = cols.reshape(b, t_out, k, groups, cg)
+        return jnp.einsum("btkgj,kjgo->btgo", cols, kk,
+                          preferred_element_type=jnp.float32)
+
+    def loss(p, i):
+        xi = x + (i * 1e-9).astype(x.dtype)
+        return jnp.mean(jnp.abs(apply(p, xi).astype(jnp.float32)))
+
+    def make(p0):
+        def body(p, i):
+            g = jax.grad(loss)(p, jnp.float32(0.0))
+            return p - 1e-9 * g, None
+        p2, _ = jax.lax.scan(body, p0, jnp.arange(ITERS))
+        return p2, p2.astype(jnp.float32).sum()
+
+    timed(name, make, kern)
+
+
+def main2():
+    for i, (t, ci, co, k, s, g) in enumerate([
+        (2560, 64, 256, 41, 4, 16),
+        (640, 256, 1024, 41, 4, 64),
+        (160, 1024, 1024, 41, 4, 256),
+    ]):
+        conv_probe_einsum(f"conv t{t} {ci}->{co} g{g} EINSUM", t, ci, co, k, s, g)
+
+
+if __name__ == "__main__" and "einsum" in str(__import__("sys").argv):
+    main2()
