@@ -300,7 +300,10 @@ def bench_train_step(hps, iters: int = 10) -> float:
     # device-side loop: N steps per host round trip (tunnel-latency immune)
     def loop(state):
         def body(st, i):
-            st, metrics = raw_step(st, batch, jax.random.fold_in(jax.random.PRNGKey(0), i))
+            st, metrics = raw_step(
+                st, batch,
+                jax.random.fold_in(jax.random.key(0, impl="rbg"), i),
+            )
             return st, metrics["loss/g/total"]
         st, losses = jax.lax.scan(body, state, jnp.arange(iters))
         return st, losses.sum()

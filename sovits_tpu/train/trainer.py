@@ -126,6 +126,9 @@ def train(hps, model_dir: str | Path, max_steps: int | None = None, mesh=None):
     syn = factory.build_synthesizer(hps)
     disc = factory.build_discriminator(hps)
     rng = jax.random.PRNGKey(hps.train.seed)
+    # in-step randomness (slice/noise/dropout) uses the hardware rbg PRNG:
+    # threefry sampling costs ~2 ms/step on v5e (see bench.py's infer keys)
+    step_rng = jax.random.key(hps.train.seed, impl="rbg")
     g_params = factory.init_synthesizer_params(syn, rng, hps, t_frames=16)
     d_params = factory.init_discriminator_params(
         disc, jax.random.fold_in(rng, 1), seg_samples=hps.train.segment_size
@@ -171,7 +174,7 @@ def train(hps, model_dir: str | Path, max_steps: int | None = None, mesh=None):
             batch = next(batches)
             batch.pop("epoch", None)
             batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
-            state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+            state, metrics = step_fn(state, batch, jax.random.fold_in(step_rng, step))
             step += 1
 
             if step % hps.train.log_interval == 0:
