@@ -252,7 +252,7 @@ def bench_mel_l1(hps, t_frames: int = 200) -> float:
     return float(np.abs(mel_ref - mel_got).mean())
 
 
-def bench_train_step(hps, iters: int = 10) -> float:
+def bench_train_step(hps, iters: int = 20) -> float:
     """Full-size fused GAN train step rate on one chip (bf16 compute),
     batch 6 x 512 frames (max_speclen, config_template.json:23). Steps run
     inside one device-side scan so tunnel latency doesn't distort the rate."""

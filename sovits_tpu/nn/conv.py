@@ -206,6 +206,22 @@ class Conv1d(nn.Module):
             kd = kd.at[:, idx, :, idx, :].set(kb.transpose(2, 0, 1, 3))
             kernel = kd.reshape(self.kernel_size, in_ch, self.features)
             groups = 1
+        if (
+            1 < groups < in_ch  # depthwise stays on the grouped path
+            and in_ch > 128
+            and self.dilation == 1
+            and x.shape[1] % self.stride == 0
+        ):
+            # wide grouped towers: XLA's input-gradient path is batch-minor
+            # (measured ~3 ms for the g256 layer); route through the
+            # custom-VJP that computes dx as one block-diagonal matmul
+            from ..ops.grouped import grouped_conv1d
+
+            y = grouped_conv1d(x.astype(self.dtype), kernel, self.stride,
+                               pad, groups)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y.astype(self.dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel,
