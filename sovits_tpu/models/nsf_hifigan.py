@@ -109,8 +109,15 @@ class SourceModuleHnNSF(nn.Module):
 
     @nn.compact
     def __call__(
-        self, f0_frames: jax.Array, upp: int, rng: jax.Array | None = None
+        self,
+        f0_frames: jax.Array,
+        upp: int,
+        rng: jax.Array | None = None,
+        phase0: jax.Array | None = None,  # [B, H] turns, adds to the base
     ) -> tuple[jax.Array, jax.Array]:
+        """phase0: per-harmonic phase (in turns) accumulated BEFORE this
+        chunk's first frame — lets a time-sharded decode continue the sine
+        phase across shard boundaries exactly (parallel/sequence.py)."""
         h = self.harmonic_num + 1
         b, t_f = f0_frames.shape
         # torch nn.Linear default init; kernel [H, 1] as in the Dense variant.
@@ -127,6 +134,8 @@ class SourceModuleHnNSF(nn.Module):
         rad = (f0 * harmonics[None, :, None] / self.sample_rate) % 1.0  # [B, H, T_f]
         frame_adv = (rad * upp) % 1.0
         base = jnp.cumsum(frame_adv, axis=-1) - frame_adv  # exclusive
+        if phase0 is not None:
+            base = base + phase0.astype(base.dtype)[:, :, None]
 
         if rng is not None:
             rng_phase, rng_noise = jax.random.split(rng)
@@ -208,6 +217,7 @@ class Generator(nn.Module):
         f0: jax.Array,  # [B, T_frames] Hz
         g: jax.Array | None = None,  # [B, 1, gin]
         rng: jax.Array | None = None,
+        phase0: jax.Array | None = None,  # [B, 9] sine phase continuation
     ) -> jax.Array:
         upp = int(np.prod(self.upsample_rates))
         num_kernels = len(self.resblock_kernel_sizes)
@@ -218,7 +228,7 @@ class Generator(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="m_source",
-        )(f0, upp, rng)
+        )(f0, upp, rng, phase0)
 
         x = Conv1d(
             features=self.upsample_initial_channel,

@@ -1,0 +1,107 @@
+"""Time-sharded NSF-HiFiGAN decode (parallel/sequence.py) on the CPU mesh.
+
+Seam exactness: every interior shard sees real neighbour frames via the
+halo exchange, so sharded == monolithic everywhere except within the
+receptive field of the SONG edges, where the outer shards see halo
+zeros + the f0=0 oscillator instead of pure conv zero-padding (an
+inaudible, sub-receptive-field boundary-condition difference; the Svc
+slicer crossfades clip edges anyway).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from sovits_tpu.models.nsf_hifigan import Generator
+from sovits_tpu.parallel.sequence import sharded_decode
+
+HALO = 16
+
+
+def _tiny_gen():
+    return Generator(
+        sampling_rate=8000,
+        inter_channels=12,
+        resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (1, 3)),
+        upsample_rates=(4, 4),
+        upsample_initial_channel=16,
+        upsample_kernel_sizes=(8, 8),
+        gin_channels=8,
+    )
+
+
+@pytest.mark.parametrize("with_g", [True, False])
+def test_sharded_decode_matches_monolithic(with_g):
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+
+    gen = _tiny_gen()
+    rng = np.random.default_rng(0)
+    b, t_f = 2, 8 * 24  # 24 frames per shard
+    x = jnp.asarray(rng.standard_normal((b, t_f, 12)), jnp.float32) * 0.3
+    f0 = jnp.asarray(rng.uniform(80, 300, (b, t_f)), jnp.float32)
+    g = (
+        jnp.asarray(rng.standard_normal((b, 1, 8)), jnp.float32) * 0.2
+        if with_g
+        else None
+    )
+    params = gen.init(jax.random.PRNGKey(0), x[:, :16], f0[:, :16], g)["params"]
+
+    mono = gen.apply({"params": params}, x, f0, g)
+    shrd = sharded_decode(gen, params, x, f0, g, mesh, halo=HALO)
+    assert shrd.shape == mono.shape
+
+    upp = 16
+    mono = np.asarray(mono)[:, :, 0]
+    shrd = np.asarray(shrd)[:, :, 0]
+    edge = HALO * upp  # song-edge receptive zone (boundary-condition diff)
+    np.testing.assert_allclose(
+        shrd[:, edge:-edge], mono[:, edge:-edge], rtol=2e-4, atol=2e-5
+    )
+
+    # explicit seam check: windows straddling every shard boundary
+    t_local = (t_f // 8) * upp
+    for s in range(1, 8):
+        win = slice(s * t_local - 64, s * t_local + 64)
+        np.testing.assert_allclose(
+            shrd[:, win], mono[:, win], rtol=2e-4, atol=2e-5,
+            err_msg=f"seam {s}",
+        )
+
+
+def test_phase0_continuation():
+    """Chunked decode with phase0 equals monolithic (single device)."""
+    gen = _tiny_gen()
+    rng = np.random.default_rng(1)
+    b, t_f = 1, 48
+    x = jnp.asarray(rng.standard_normal((b, t_f, 12)), jnp.float32) * 0.3
+    f0 = jnp.asarray(rng.uniform(80, 300, (b, t_f)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), x[:, :16], f0[:, :16], None)["params"]
+
+    from sovits_tpu.parallel.sequence import _frame_adv
+
+    mono = np.asarray(gen.apply({"params": params}, x, f0, None))[:, :, 0]
+    # second half with phase0 = sum of first half's advances; generous halo
+    halo = 20
+    adv = _frame_adv(f0[:, : t_f // 2], 8000, 16)
+    phase0 = jnp.sum(adv, axis=-1) - jnp.sum(
+        _frame_adv(f0[:, t_f // 2 - halo : t_f // 2], 8000, 16), axis=-1
+    )
+    wav2 = np.asarray(
+        gen.apply(
+            {"params": params},
+            x[:, t_f // 2 - halo :],
+            f0[:, t_f // 2 - halo :],
+            None,
+            phase0=phase0,
+        )
+    )[:, :, 0]
+    upp = 16
+    np.testing.assert_allclose(
+        wav2[:, halo * upp :], mono[:, (t_f // 2) * upp :], rtol=2e-4, atol=2e-5
+    )
