@@ -4,14 +4,14 @@ The reference delegates to pyworld's C++ dio/stonemask and harvest
 (modules/F0Predictor/DioF0Predictor.py:49-56, HarvestF0Predictor.py:46-69).
 `sovits_tpu.f0.world_dio` is a step-by-step port of WORLD's published DIO +
 StoneMask algorithms (numpy), mirrored in C++ in native/world_f0.cpp
-(parity-tested to ~1e-10 in tests/test_world.py).
+(parity-tested to ~1e-10 in tests/test_native.py).
 
 - ``dio``: WORLD DIO + StoneMask exactly as the reference calls them
   (f0_floor/f0_ceil from the predictor bounds, frame_period = hop/sr).
-- ``harvest``: WORLD's Harvest differs from DIO mainly in its much denser
-  candidate set and smoother contour; this predictor approximates it with
-  the same DIO machinery at 12 channels/octave, a wider fix range, and
-  median smoothing. It is an approximation, not a port of harvest.cpp.
+- ``harvest``: full port of the published Harvest pipeline (Morise 2017)
+  in `sovits_tpu.f0.world_harvest`: dense 40-ch/octave candidate maps,
+  instantaneous-frequency refinement with reliability scores, contour
+  tracking and biquad smoothing (see that module's docstring).
 """
 
 from __future__ import annotations
@@ -31,7 +31,9 @@ class DioF0Predictor(F0Predictor):
     next to DIO's own estimation error), C++ track extraction + candidate
     scoring, and the C++ direct-bin StoneMask. ``exact=True`` runs the pure
     float64 numpy oracle path (bit-for-bit the parity reference used by
-    tests/test_native.py)."""
+    tests/test_native.py). Measured fast-vs-exact deviation on the
+    speechlike fixture (tests/test_f0.py::test_dio_fast_vs_exact_deviation):
+    identical voicing decisions, median 0 Hz, worst frame ~6.5 Hz."""
 
     name = "dio"
     channels_in_octave = 2.0

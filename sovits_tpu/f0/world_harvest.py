@@ -53,6 +53,11 @@ JUMP_ALLOWED_RANGE = 0.008  # FixStep1 frame-to-frame relative jump
 EXTEND_ALLOWED_RANGE = 0.18  # section extension candidate agreement
 VOICE_RANGE_MINIMUM = 9  # minimum voiced-section length (1 ms frames)
 SCORE_MINIMUM = 2.5  # refinement reliability gate
+# _remove_unreliable flattened-searchsorted constants: empty candidate
+# slots sort above every real f0 (< f0_ceil ~1.1e3) but below the per-row
+# lift so rows never interleave
+_EMPTY_SENTINEL = 1e5
+_ROW_LIFT = 1e6
 # 2nd-order zero-phase lowpass used by WORLD's SmoothF0Contour
 SMOOTH_B = (0.0078202080334971724, 0.015640416066994345, 0.0078202080334971724)
 SMOOTH_A = (1.7347257688092754, -0.76600660094326412)
@@ -172,7 +177,7 @@ def _remove_unreliable(cands: np.ndarray, scores: np.ndarray) -> None:
     frozen = cands.copy()
     live = frozen > 0.0
     ok = live.copy()
-    sorted_rows = np.sort(np.where(live, frozen, 1e9), axis=1)
+    sorted_rows = np.sort(np.where(live, frozen, _EMPTY_SENTINEL), axis=1)
     for dt in (-1, 1):
         # neigh[t] = frozen[t + dt]; frames whose neighbour is out of range
         # carry no constraint from this direction
@@ -186,10 +191,13 @@ def _remove_unreliable(cands: np.ndarray, scores: np.ndarray) -> None:
         # nearest live neighbour-candidate per current candidate via one
         # global searchsorted: each sorted neighbour row is lifted by a
         # per-row offset far above any f0, making the flattened array
-        # monotone; empty slots carry a 1e9 sentinel below the offset step
+        # monotone; empty slots carry a sentinel below the offset step
         # so an empty neighbour frame yields a huge deviation (kills the
-        # whole frame, as WORLD does)
-        lift = 4e9
+        # whole frame, as WORLD does). The lift is kept small (1e6, vs
+        # f0 < f0_ceil ~1.1e3 and the 1e5 sentinel) so that even for
+        # hour-scale inputs (rows ~1e6 -> offsets ~1e12) float64 retains
+        # ~1e-4 Hz resolution and the 5% agreement gate never quantizes.
+        lift = _ROW_LIFT
         n = cur.shape[0]
         offs = np.arange(n) * lift
         flat = (rows + offs[:, None]).reshape(-1)

@@ -458,11 +458,16 @@ class Svc:
             mix_weights = build_spk_mix_frames(
                 spk, total_frames, self.hps.model.n_speakers
             )
-        lg_size = int(lg_num * sr)
-        lg_size_r = int(lg_size * lgr_num)
-        lg_size_c_l = (lg_size - lg_size_r) // 2
-        lg_size_c_r = lg_size - lg_size_r - lg_size_c_l
-        lg = np.linspace(0, 1, lg_size_r) if lg_size else None
+        # Forced-clip crossfade geometry (kwargs lg_num/lgr_num mirror the
+        # reference CLI's -lg/-lgr): consecutive clips overlap by
+        # `overlap_len` samples; the central `fade_len` of the overlap is
+        # linearly crossfaded while the margins either side are kept from
+        # one clip only.
+        overlap_len = int(lg_num * sr)
+        fade_len = int(overlap_len * lgr_num)
+        keep_left = (overlap_len - fade_len) // 2
+        keep_right = overlap_len - fade_len - keep_left
+        fade_ramp = np.linspace(0, 1, fade_len) if overlap_len else None
 
         # Pass 1 — host front end per chunk (slicing, padding, f0/units).
         # Pass 2 — one batched device dispatch per (bucket, speaker-kind)
@@ -477,7 +482,7 @@ class Svc:
                 plan.append(("sil", length))
                 global_frame += length // self.hop_size
                 continue
-            datas = list(split_list_by_n(data, per_size, lg_size)) if per_size else [data]
+            datas = list(split_list_by_n(data, per_size, overlap_len)) if per_size else [data]
             for k, dat in enumerate(datas):
                 per_length = (
                     int(np.ceil(len(dat) / sr * self.target_sample))
@@ -528,28 +533,32 @@ class Svc:
             out_pad = int(self.target_sample * pad_seconds)
             _audio = np.asarray(out_audio)[out_pad:-out_pad]
             _audio = pad_array(_audio, per_length)
-            if lg_size and k != 0:
-                lg1 = (
-                    np.array(audio[-(lg_size_r + lg_size_c_r) : -lg_size_c_r])
+            if overlap_len and k != 0:
+                # blend the assembled tail into the new clip's head over
+                # the fade window; the kept margins come from whichever
+                # clip owns them (left margin: previous clip, right
+                # margin: new clip)
+                tail_prev = (
+                    np.array(audio[-(fade_len + keep_right) : -keep_right])
                     if lgr_num != 1
-                    else np.array(audio[-lg_size:])
+                    else np.array(audio[-overlap_len:])
                 )
-                lg2 = (
-                    _audio[lg_size_c_l : lg_size_c_l + lg_size_r]
+                head_next = (
+                    _audio[keep_left : keep_left + fade_len]
                     if lgr_num != 1
-                    else _audio[:lg_size]
+                    else _audio[:overlap_len]
                 )
-                lg_pre = lg1 * (1 - lg) + lg2 * lg
+                blended = tail_prev * (1 - fade_ramp) + head_next * fade_ramp
                 audio = (
-                    audio[: -(lg_size_r + lg_size_c_r)]
+                    audio[: -(fade_len + keep_right)]
                     if lgr_num != 1
-                    else audio[:-lg_size]
+                    else audio[:-overlap_len]
                 )
-                audio.extend(lg_pre)
+                audio.extend(blended)
                 _audio = (
-                    _audio[lg_size_c_l + lg_size_r :]
+                    _audio[keep_left + fade_len :]
                     if lgr_num != 1
-                    else _audio[lg_size:]
+                    else _audio[overlap_len:]
                 )
             audio.extend(list(_audio))
         return np.array(audio, dtype=np.float32)

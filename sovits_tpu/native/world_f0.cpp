@@ -4,7 +4,7 @@
 // `dio` predictor (modules/F0Predictor/DioF0Predictor.py:49-56). This file
 // implements the same published algorithm, mirroring the numpy reference in
 // sovits_tpu/f0/world_dio.py operation for operation (that file is the
-// parity oracle in tests/test_world.py). No WORLD source is vendored; the
+// parity oracle in tests/test_native.py). No WORLD source is vendored; the
 // implementation is written from the algorithm description.
 //
 // Build: make -C sovits_tpu/native  (produces libworld_f0.so)

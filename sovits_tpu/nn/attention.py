@@ -121,12 +121,17 @@ class MultiHeadAttention(nn.Module):
     use_fused: bool | None = None
 
     def _fused_eligible(self, t_t: int, t_s: int, causal: bool,
-                        key_mask) -> bool:
+                        key_mask, attn_mask) -> bool:
         if self.use_fused is False:
             return False
         if self.use_fused is None and jax.default_backend() != "tpu":
             return False
         if t_t != t_s or self.proximal_bias or t_t > _FUSED_MAX_T:
+            return False
+        if attn_mask is not None and key_mask is None and not causal:
+            # a free-form attn_mask is not representable in the fused kernel;
+            # only the structured forms (key padding mask / causal tril) are.
+            # Without this, a custom mask would be silently dropped on TPU.
             return False
         if self.window_size is not None:
             # band formulation needs the full-table regime + shared heads
@@ -186,7 +191,7 @@ class MultiHeadAttention(nn.Module):
             )
 
         if not self.is_initializing() and self._fused_eligible(
-            t_t, t_s, causal, key_mask
+            t_t, t_s, causal, key_mask, attn_mask
         ):
             from ..ops.attention import fused_attention
 

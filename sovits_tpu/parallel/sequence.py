@@ -44,6 +44,37 @@ def _frame_adv(f0: jax.Array, sample_rate: int, upp: int, h: int = 9):
     return (rad * upp) % 1.0
 
 
+def required_halo_frames(generator) -> int:
+    """One-sided receptive field of the decode pipeline, in input frames.
+
+    Sums conv_pre + per-stage [transposed upsample + noise conv + resblock
+    trio] + conv_post reaches, each converted back to frame rate, so the
+    halo is derived from the generator's actual config instead of guessed.
+    """
+    reach = 3.0  # conv_pre: k=7, symmetric padding, at frame rate
+    c = 1.0  # cumulative upsample factor at the current stage's input
+    rates = list(generator.upsample_rates)
+    full = float(np.prod(rates))
+    rb = max(
+        sum((rk - 1) // 2 * (d + 1) for d in dil)
+        for rk, dil in zip(
+            generator.resblock_kernel_sizes, generator.resblock_dilation_sizes
+        )
+    )
+    for i, (u, k) in enumerate(zip(rates, generator.upsample_kernel_sizes)):
+        # ConvTranspose1d(k, stride=u, pad=(k-u)//2): output p reads inputs
+        # in [(p + pad - k + 1) / u, (p + pad) / u] -> one-sided input reach
+        # <= ceil(pad / u) samples at the stage-input rate
+        reach += float(-(-((k - u) // 2) // u)) / c
+        c *= u
+        if i + 1 < len(rates):
+            # noise conv: kernel 2*stride_f0 over the full-rate source
+            reach += float(np.prod(rates[i + 1:])) / full
+        reach += rb / c  # parallel resblocks: max chain reach at stage rate
+    reach += 3.0 / full  # conv_post: k=7 at sample rate
+    return int(np.ceil(reach))
+
+
 def sharded_decode(
     generator,
     params,
@@ -52,11 +83,18 @@ def sharded_decode(
     g: jax.Array | None,
     mesh: Mesh,
     axis: str = "data",
-    halo: int = 32,  # frames; must cover the conv tail's receptive field
+    halo: int | None = None,  # frames; None derives it from the generator
 ) -> jax.Array:
     """Time-sharded deterministic decode. Returns [B, T_f * upp, 1]."""
     n = mesh.shape[axis]
     b, t_f, c = x.shape
+    needed = required_halo_frames(generator)
+    if halo is None:
+        halo = needed
+    assert halo >= needed, (
+        f"halo={halo} frames does not cover the generator's receptive "
+        f"field ({needed} frames): shard seams would be wrong"
+    )
     upp = int(np.prod(generator.upsample_rates))
     assert t_f % n == 0, (
         f"frames ({t_f}) must divide the '{axis}' axis size ({n}); "
