@@ -28,7 +28,7 @@ KS = (3, 7, 11)
 DS = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
 
 
-def scan_time(fn, *args, iters=10):
+def _scan_raw(fn, *args, iters):
     def loop(*a):
         def body(c, i):
             out = fn(*[
@@ -46,6 +46,17 @@ def scan_time(fn, *args, iters=10):
     t0 = time.perf_counter()
     np.asarray(j(*args))
     return (time.perf_counter() - t0) / iters
+
+
+def scan_time(fn, *args, iters=200):
+    """Per-call device time: many-iteration scan MINUS the same scan with a
+    null body. The axon tunnel adds ~28 ms per host dispatch; at the old
+    iters=10 that inflated every stage by ~2.8 ms (round-2 PROFILE.md's
+    numbers had this bug — e.g. the C=16 fused trio is really ~1.3 ms, not
+    3.84 ms)."""
+    total = _scan_raw(fn, *args, iters=iters)
+    null = _scan_raw(lambda *a: a[0], *args, iters=iters)
+    return max(total - null, 1e-9)
 
 
 def profile_stages():
@@ -153,7 +164,7 @@ def profile_full():
                              method=Synthesizer.infer)
             return w
 
-        dt = scan_time(infer, c, f0, uv, iters=20)
+        dt = scan_time(infer, c, f0, uv, iters=100)
         out[name] = {"ms_per_10s_clip": dt * 1e3, "rtf": dt / SECONDS}
         print(name, out[name], flush=True)
     return out
