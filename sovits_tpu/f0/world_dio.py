@@ -252,6 +252,7 @@ def dio(
     filter_dtype=np.float64,
     native_candidates: bool = False,
     speed: int = 1,
+    pre_decimated: tuple[np.ndarray, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """WORLD DIO. Returns (temporal_positions [s], f0 [Hz], 0 = unvoiced).
 
@@ -264,7 +265,10 @@ def dio(
     ``speed`` is WORLD's DioOption::speed decimation ratio (1..12): the
     band analysis runs on the MATLAB-decimated signal at fs/speed, exactly
     as dio.cpp's DioGeneralBody; the reference's pyworld call leaves it at
-    the default 1 (no decimation)."""
+    the default 1 (no decimation). ``pre_decimated=(y, fs_dec)`` supplies
+    an already-decimated band-analysis signal (the predictor's fast path
+    shares one decimation FFT between DIO and StoneMask), bypassing the
+    internal `decimate` call."""
     x = np.asarray(x, np.float64)
     n_bands = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
     boundaries = f0_floor * 2.0 ** (np.arange(1, n_bands + 1) / channels_in_octave)
@@ -274,9 +278,13 @@ def dio(
     n_frames = int(len(x) / fs * 1000.0 / frame_period) + 1
     temporal_positions = np.arange(n_frames) * frame_period / 1000.0
 
-    ratio = int(np.clip(speed, 1, 12))
-    y = decimate(x, ratio)
-    fs = fs / ratio
+    if pre_decimated is not None:
+        y, fs = pre_decimated
+        y = np.asarray(y, np.float64)
+    else:
+        ratio = int(np.clip(speed, 1, 12))
+        y = decimate(x, ratio)
+        fs = fs / ratio
     y_length = len(y)
 
     candidates = np.zeros((n_bands, n_frames))

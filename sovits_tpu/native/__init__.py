@@ -77,6 +77,16 @@ def _load_world():
             ctypes.c_int64, dbl_p, dbl_p,
         ]
         lib.world_refine_f0.restype = None
+        lib.world_fir_decimate.argtypes = [
+            dbl_p, ctypes.c_int64, dbl_p, ctypes.c_int64, ctypes.c_int64,
+            dbl_p, ctypes.c_int64,
+        ]
+        lib.world_fir_decimate.restype = None
+        lib.world_fir_decimate_f.argtypes = [
+            flt_p, ctypes.c_int64, flt_p, ctypes.c_int64, ctypes.c_int64,
+            flt_p, ctypes.c_int64,
+        ]
+        lib.world_fir_decimate_f.restype = None
         _world_lib = lib
     except OSError:
         _world_lib = None
@@ -197,6 +207,67 @@ def world_refine_f0(x: np.ndarray, fs: float, positions: np.ndarray,
         refined.ctypes.data_as(dbl_p), score.ctypes.data_as(dbl_p),
     )
     return refined, score
+
+
+_FIR_CACHE: dict[int, np.ndarray] = {}
+
+
+def _decimation_fir(ratio: int) -> np.ndarray:
+    """Linear-phase Kaiser lowpass at WORLD's decimate cutoff (0.8·nyq/ratio).
+
+    beta=8 gives ~81 dB stopband; the length follows the Kaiser formula for
+    the 0.2·nyq/ratio transition band, rounded odd so the center tap sits on
+    a sample and the polyphase output is exactly zero-phase."""
+    h = _FIR_CACHE.get(ratio)
+    if h is None:
+        from scipy import signal as sps
+
+        width = 0.2 / ratio  # transition band, in nyquist units
+        ntaps = int(np.ceil((8.0 / 0.1102 + 7.95) / (14.36 * width / 2.0)))
+        ntaps += 1 - ntaps % 2
+        h = sps.firwin(ntaps, 0.9 / ratio, window=("kaiser", 8.0))
+        _FIR_CACHE[ratio] = h
+    return h
+
+
+def fir_decimate(x: np.ndarray, ratio: int, dtype=np.float32) -> np.ndarray:
+    """Zero-phase polyphase FIR decimation: y[m] = (h * x)[m*ratio], h the
+    cached Kaiser lowpass, centered, zero-padded edges. The predictor fast
+    path's substitute for MATLAB-style `decimate` (world_dio.decimate is the
+    filtfilt oracle); same output length as x[::ratio]. ``dtype=float32``
+    (default) runs the 4-way-blocked SIMD kernel (~1e-5-relative rounding);
+    ``float64`` the full-precision one. Returns float64 either way."""
+    x = np.asarray(x, np.float64)
+    if ratio <= 1:
+        return x.copy()
+    h = _decimation_fir(ratio)
+    n_out = -(-len(x) // ratio)
+    lib = _load_world()
+    if lib is None:  # numpy fallback (correctness only)
+        half = len(h) // 2
+        xe = np.pad(x, (half, half + ratio * n_out - len(x)))
+        acc = np.zeros(n_out, np.float64)
+        for k, hk in enumerate(h):
+            acc += hk * xe[k : k + n_out * ratio : ratio]
+        return acc
+    if dtype == np.float32:
+        xf = np.ascontiguousarray(x, dtype=np.float32)
+        hf = np.ascontiguousarray(h, dtype=np.float32)
+        out = np.empty(n_out, np.float32)
+        flt_p = ctypes.POINTER(ctypes.c_float)
+        lib.world_fir_decimate_f(
+            xf.ctypes.data_as(flt_p), len(xf), hf.ctypes.data_as(flt_p),
+            len(hf), ratio, out.ctypes.data_as(flt_p), n_out,
+        )
+        return out.astype(np.float64)
+    xd = np.ascontiguousarray(x)
+    out = np.empty(n_out, np.float64)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.world_fir_decimate(
+        xd.ctypes.data_as(dbl_p), len(xd), h.ctypes.data_as(dbl_p), len(h),
+        ratio, out.ctypes.data_as(dbl_p), n_out,
+    )
+    return out
 
 
 def world_stonemask(x: np.ndarray, fs: float, temporal_positions: np.ndarray,

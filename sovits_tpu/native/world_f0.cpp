@@ -257,6 +257,77 @@ void four_tracks(const T* s, int n, double fs, Track tracks[4]) {
 
 extern "C" {
 
+// Polyphase FIR decimation (the predictor fast path's MATLAB-decimate
+// substitute; linear-phase Kaiser lowpass designed by the Python caller,
+// centered so the output is zero-phase like filtfilt). out[m] =
+// sum_k h[k] * x[m*ratio + k - nh/2], x zero outside [0, n). Each output
+// sample is an independent dot product -> one SIMD reduction per sample.
+void world_fir_decimate(const double* x, int64_t n, const double* h,
+                        int64_t nh, int64_t ratio, double* out,
+                        int64_t n_out) {
+  const int64_t half = nh / 2;
+  for (int64_t m = 0; m < n_out; ++m) {
+    const int64_t start = m * ratio - half;  // x index of h[0]
+    int64_t k0 = start < 0 ? -start : 0;
+    int64_t k1 = std::min(nh, n - start);
+    double acc = 0.0;
+    const double* xs = x + start;
+#pragma omp simd reduction(+ : acc)
+    for (int64_t k = k0; k < k1; ++k) acc += h[k] * xs[k];
+    out[m] = acc;
+  }
+}
+
+// float32 variant, 4 outputs per iteration (shared h loads, 4 independent
+// FMA chains). ~1e-5-relative rounding vs the f64 path — inside the fast
+// path's tolerance (band filtering is float32 anyway).
+void world_fir_decimate_f(const float* x, int64_t n, const float* h,
+                          int64_t nh, int64_t ratio, float* out,
+                          int64_t n_out) {
+  const int64_t half = nh / 2;
+  int64_t m = 0;
+  // interior block: all four dot products fully inside [0, n)
+  const int64_t m_lo = std::min(n_out, (half + ratio - 1) / ratio);
+  const int64_t m_hi_raw = (n - nh + half) / ratio;  // start+nh<=n
+  const int64_t m_hi = std::max(m_lo, std::min(n_out, m_hi_raw));
+  for (m = 0; m < m_lo; ++m) {
+    const int64_t start = m * ratio - half;
+    int64_t k0 = start < 0 ? -start : 0;
+    int64_t k1 = std::min(nh, n - start);
+    float acc = 0.0f;
+    const float* xs = x + start;
+#pragma omp simd reduction(+ : acc)
+    for (int64_t k = k0; k < k1; ++k) acc += h[k] * xs[k];
+    out[m] = acc;
+  }
+  for (; m + 4 <= m_hi; m += 4) {
+    const float* x0 = x + m * ratio - half;
+    const float* x1 = x0 + ratio;
+    const float* x2 = x1 + ratio;
+    const float* x3 = x2 + ratio;
+    float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+#pragma omp simd reduction(+ : a0, a1, a2, a3)
+    for (int64_t k = 0; k < nh; ++k) {
+      const float hk = h[k];
+      a0 += hk * x0[k];
+      a1 += hk * x1[k];
+      a2 += hk * x2[k];
+      a3 += hk * x3[k];
+    }
+    out[m] = a0; out[m + 1] = a1; out[m + 2] = a2; out[m + 3] = a3;
+  }
+  for (; m < n_out; ++m) {
+    const int64_t start = m * ratio - half;
+    int64_t k0 = start < 0 ? -start : 0;
+    int64_t k1 = std::min(nh, n - start);
+    float acc = 0.0f;
+    const float* xs = x + start;
+#pragma omp simd reduction(+ : acc)
+    for (int64_t k = k0; k < k1; ++k) acc += h[k] * xs[k];
+    out[m] = acc;
+  }
+}
+
 // tracks + interpolation + candidate/score for one band-filtered signal
 // (the loop-heavy middle of DIO; filtering stays in the caller)
 void world_band_candidates(const double* filtered, int64_t y_length, double fs,
