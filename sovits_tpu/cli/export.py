@@ -78,14 +78,70 @@ def load_exported(path: str):
     return exported.call
 
 
+def export_synthesizer_onnx(model_path: str, config_path: str, out_path: str) -> None:
+    """Emit a real ONNX artifact with the MoeSS io contract (onnx_export.py
+    analog; self-contained emission, see sovits_tpu/export/onnx_synth.py)
+    plus the MoeVSConf sidecar, and verify it loads and runs via the in-repo
+    numpy ONNX runtime before writing."""
+    import numpy as np
+
+    from ..export.onnx_run import run_model
+    from ..export.onnx_synth import build_synthesizer_onnx, moevs_config
+    from ..infer.svc import Svc
+
+    svc = Svc(model_path, config_path)
+    hps = svc.hps
+    chara_mix = len(svc.spk2id) > 1
+    data = build_synthesizer_onnx(
+        jax.tree.map(np.asarray, svc.params), hps, chara_mix=chara_mix
+    )
+
+    # load-and-run smoke before shipping the bytes
+    t = 16
+    feeds = {
+        "c": np.zeros((1, t, hps.model.ssl_dim), np.float32),
+        "f0": np.full((1, t), 220.0, np.float32),
+        "mel2ph": np.arange(1, t + 1, dtype=np.int64)[None],
+        "uv": np.ones((1, t), np.float32),
+        "noise": np.zeros((1, hps.model.inter_channels, t), np.float32),
+        "sid": (
+            np.full((t, hps.model.n_speakers), 1.0 / max(len(svc.spk2id), 1), np.float32)
+            if chara_mix
+            else np.zeros((1,), np.int64)
+        ),
+    }
+    if getattr(hps.model, "vol_embedding", False):
+        feeds["vol"] = np.zeros((1, t), np.float32)
+    audio = run_model(data, feeds)["audio"]
+    assert np.isfinite(audio).all() and audio.shape[-1] > 0
+
+    Path(out_path).write_bytes(data)
+    meta = moevs_config(hps, Path(out_path).stem, chara_mix)
+    meta["Characters"] = list(svc.spk2id.keys())
+    Path(out_path).with_suffix(".json").write_text(json.dumps(meta, indent=2))
+    print(f"wrote {out_path} ({len(data) / 1e6:.1f} MB) + MoeVS sidecar json")
+
+
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="export the synthesizer (StableHLO)")
+    parser = argparse.ArgumentParser(
+        description="export the synthesizer (StableHLO or ONNX)"
+    )
     parser.add_argument("-m", "--model_path", required=True)
     parser.add_argument("-c", "--config_path", default="configs/config.json")
     parser.add_argument("-o", "--output", default="model.stablehlo")
     parser.add_argument("--t-frames", type=int, default=512)
+    parser.add_argument(
+        "--onnx", action="store_true",
+        help="emit a MoeSS-contract ONNX model instead of StableHLO",
+    )
     args = parser.parse_args(argv)
-    export_synthesizer(args.model_path, args.config_path, args.output, args.t_frames)
+    if args.onnx:
+        out = args.output
+        if out.endswith(".stablehlo"):
+            out = out[: -len(".stablehlo")] + ".onnx"
+        export_synthesizer_onnx(args.model_path, args.config_path, out)
+    else:
+        export_synthesizer(args.model_path, args.config_path, args.output, args.t_frames)
 
 
 if __name__ == "__main__":
