@@ -128,15 +128,24 @@ def make_train_step(
 
         mel = spec_to_mel(batch["spec"], **mel_kw)  # [B, T, M]
 
-        # ---- forward once for the D step -------------------------------
-        y_hat, ids_slice, *_ = gen_forward(state.g_params, batch, rngs)
-        y_hat = jax.lax.stop_gradient(y_hat)
+        # ---- ONE generator forward serves both steps -------------------
+        # The reference runs SynthesizerTrn once and reuses y_hat for the D
+        # step (detached) and the G step (train.py:150-233). Mirroring that
+        # with jax.vjp: the forward's residuals are kept, the D step trains
+        # on the stop-gradient primal, and the G gradients are pulled back
+        # through the saved vjp — the second full generator forward the
+        # previous two-closure formulation traced is gone.
+        outs, gen_vjp = jax.vjp(
+            lambda p: gen_forward(p, batch, rngs), state.g_params
+        )
+        y_hat, ids_slice = outs[0], outs[1]
+        y_hat_sg = jax.lax.stop_gradient(y_hat)
         ids_slice = jax.lax.stop_gradient(ids_slice)
         y_seg = slice_segments(batch["wav"], ids_slice * hop, seg_samples)
 
         def d_loss_fn(d_params):
             r_logits, f_logits, _, _ = discriminator.apply(
-                {"params": d_params}, y_seg, y_hat
+                {"params": d_params}, y_seg, y_hat_sg
             )
             loss_disc, _, _ = discriminator_loss(r_logits, f_logits)
             return loss_disc
@@ -146,10 +155,10 @@ def make_train_step(
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        # ---- G step against the updated D (same rngs => same slice) ----
+        # ---- G step against the updated D (same forward outputs) -------
         y_mel = slice_segments(mel, ids_slice, seg_frames)
 
-        def g_loss_fn(g_params):
+        def head_loss(outs):
             (
                 y_hat_g,
                 _ids,
@@ -158,7 +167,7 @@ def make_train_step(
                 pred_lf0,
                 norm_lf0,
                 lf0,
-            ) = gen_forward(g_params, batch, rngs)
+            ) = outs
             y_hat_mel = mel_spectrogram(
                 y_hat_g[..., 0],
                 hop_length=hop,
@@ -186,9 +195,12 @@ def make_train_step(
                 "loss/g/lf0": loss_lf0,
             }
 
-        (_, metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params
-        )
+        # allow_int: `outs` carries the int32 slice ids; their cotangent is
+        # float0 and vanishes inside gen_vjp
+        (_, metrics), out_grads = jax.value_and_grad(
+            head_loss, has_aux=True, allow_int=True
+        )(outs)
+        (g_grads,) = gen_vjp(out_grads)
         grad_norm_g = optax.global_norm(g_grads)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
