@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lgr", "--linear_gradient_retain", type=float, default=0.75)
     p.add_argument("-eak", "--enhancer_adaptive_key", type=int, default=0)
     p.add_argument("-ft", "--f0_filter_threshold", type=float, default=0.05)
+    p.add_argument(
+        "-ss", "--seq_shard", type=int, default=0,
+        help="time-shard the vocoder decode over N mesh devices and run the "
+        "whole song as one dispatch (skips the slicer loop; SURVEY §5.7)",
+    )
     return p
 
 
@@ -84,6 +89,29 @@ def main(argv=None):
                     from ..infer.spkmix import EXAMPLE_SPK_MIX_MAP
 
                     spk = EXAMPLE_SPK_MIX_MAP  # edit infer/spkmix.py's map
+                if args.seq_shard:
+                    audio, _, _ = svc.infer_seq_parallel(
+                        spk,
+                        tran,
+                        wav.astype(np.float32),
+                        sr,
+                        n_shards=args.seq_shard,
+                        cluster_infer_ratio=args.cluster_infer_ratio,
+                        auto_predict_f0=args.auto_predict_f0,
+                        noice_scale=args.noice_scale,
+                        f0_predictor=args.f0_predictor,
+                        cr_threshold=args.f0_filter_threshold,
+                    )
+                    key = "auto" if args.auto_predict_f0 else f"{tran}key"
+                    out = out_dir / (
+                        f"{Path(name).stem}_{key}_{spk}_sovits_{args.f0_predictor}.wav"
+                    )
+                    wavfile.write(
+                        out, svc.target_sample,
+                        (np.clip(audio, -1, 1) * 32767).astype(np.int16),
+                    )
+                    print(f"wrote {out}")
+                    continue
                 audio = svc.slice_inference(
                     wav.astype(np.float32),
                     sr,

@@ -371,6 +371,97 @@ class Svc:
         )
         return audio, audio.shape[-1], n_frames
 
+    def infer_seq_parallel(
+        self,
+        speaker,
+        tran: int,
+        wav: np.ndarray,
+        sr: int | None = None,
+        n_shards: int | None = None,
+        cluster_infer_ratio: float = 0.0,
+        auto_predict_f0: bool = False,
+        noice_scale: float = 0.4,
+        f0_predictor: str = "pm",
+        cr_threshold: float = 0.05,
+        seed: int = 52468,
+        sample_noise: bool = True,
+    ):
+        """Full-song single-dispatch inference, vocoder decode time-sharded
+        over the device mesh (`--seq_shard`; SURVEY §5.7).
+
+        ``slice_inference`` scales long audio with a host-side chunk loop
+        (as the reference does, infer_tool.py:460-495); this path instead
+        keeps the whole song as ONE XLA dispatch: the prior/flow run
+        replicated (~3% of inference FLOPs), then
+        ``parallel.sequence.sharded_decode`` splits the NSF-HiFiGAN decode
+        across ``n_shards`` devices with a ppermute halo exchange and an
+        all-gathered sine-phase prefix, so collectives ride ICI and the
+        result matches the monolithic decode away from the song edges.
+
+        ``sample_noise`` draws the prior's noise as usual; the decode's own
+        noise conv rng stays None in this mode (deterministic decode — the
+        sharded oscillator phase math is defined for rng=None).
+        Per-frame speaker mixes are not supported here (g must be [B,1,gin]).
+        Returns (audio, n_samples, n_frames) like ``infer``.
+        """
+        from jax.sharding import Mesh
+
+        from ..parallel.sequence import sharded_decode
+
+        devs = jax.devices()
+        n = min(n_shards or len(devs), len(devs))
+        mesh = Mesh(np.array(devs[:n]), ("seq",))
+
+        item = self._prepare_chunk(
+            speaker, tran, wav, sr, cluster_infer_ratio, False,
+            f0_predictor, cr_threshold, None,
+        )
+        if item["spk"][0] == "mix":
+            raise ValueError("seq-parallel inference does not support spk mix")
+        n_frames = item["n_frames"]
+        t_pad = -(-n_frames // n) * n  # multiple of the mesh axis
+
+        def pad_t(x, dtype=np.float32):
+            x = np.asarray(x, dtype)
+            return np.pad(x, [(0, t_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+        c = jnp.asarray(pad_t(item["c"]))[None]
+        f0 = jnp.asarray(pad_t(item["f0"]))[None]
+        uv = jnp.asarray(pad_t(item["uv"]))[None]
+        vol = (
+            jnp.asarray(pad_t(item["vol"][0]))[None]
+            if (self.vol_embedding and item["vol"] is not None)
+            else None
+        )
+        spk = item["spk_array"]
+        lengths = jnp.asarray([n_frames], jnp.int32)
+
+        if not hasattr(self, "_seq_pre_jit"):
+
+            def pre(params, c, f0, uv, spk, vol, lengths, ns, pf, key, sn):
+                return self.model.apply(
+                    {"params": params}, c, f0, uv, spk, noise_scale=ns,
+                    predict_f0=pf, vol=vol, lengths=lengths, sample_noise=sn,
+                    rngs={"noise": key}, method=Synthesizer.infer_pre,
+                )
+
+            self._seq_pre_jit = jax.jit(
+                pre, static_argnames=("pf", "sn")
+            )
+
+        z, f0_out, g = self._seq_pre_jit(
+            self.params, c, f0, uv, spk, vol, lengths, noice_scale,
+            bool(auto_predict_f0), jax.random.key(seed, impl="rbg"),
+            bool(sample_noise),
+        )
+
+        dec = factory.build_decoder(self.hps, dtype=self.model.dtype)
+        wav_out = sharded_decode(
+            dec, self.params["dec"], z, f0_out, g, mesh, axis="seq"
+        )
+        audio = np.asarray(wav_out)[0, : n_frames * self.hop_size, 0]
+        return audio, audio.shape[-1], n_frames
+
     def infer_only_diffusion(self, item, k_step, second_encoding,
                              loudness_envelope_adjustment, seed: int = 52468):
         """infer_tool.py:300-328 only_diffusion branch: diffuse from the

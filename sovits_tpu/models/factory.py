@@ -43,6 +43,36 @@ def build_synthesizer(hps: HParams, dtype=jnp.float32, fused_tail: bool = False)
     return Synthesizer(dtype=dtype, fused_tail=fused_tail, **synthesizer_kwargs(hps))
 
 
+def build_decoder(hps: HParams, dtype=jnp.float32):
+    """Standalone vocoder decoder matching Synthesizer.setup's ``dec``
+    (same module type + kwargs, so a synthesizer's ``params["dec"]``
+    subtree applies to it directly). Used by the sequence-parallel decode
+    path, which runs the generator under shard_map outside the full model."""
+    kw = synthesizer_kwargs(hps)
+    from .nsf_hifigan import Generator
+
+    dec_cls = Generator
+    extra = {"separable": bool(kw["use_depthwise_conv"])}
+    if kw["vocoder_name"] == "nsf-snake-hifigan":
+        from .snake_hifigan import SnakeGenerator
+
+        dec_cls = SnakeGenerator
+        extra = {}
+    return dec_cls(
+        sampling_rate=kw["sampling_rate"],
+        inter_channels=kw["inter_channels"],
+        resblock=kw["resblock"],
+        resblock_kernel_sizes=kw["resblock_kernel_sizes"],
+        resblock_dilation_sizes=kw["resblock_dilation_sizes"],
+        upsample_rates=kw["upsample_rates"],
+        upsample_initial_channel=kw["upsample_initial_channel"],
+        upsample_kernel_sizes=kw["upsample_kernel_sizes"],
+        gin_channels=kw["gin_channels"],
+        dtype=dtype,
+        **extra,
+    )
+
+
 def build_discriminator(hps: HParams, dtype=jnp.float32) -> MultiPeriodDiscriminator:
     return MultiPeriodDiscriminator(
         use_spectral_norm=bool(hps.model.use_spectral_norm), dtype=dtype

@@ -441,6 +441,35 @@ class Synthesizer(nn.Module):
         lengths so the graph compiles once per bucket (XLA static shapes),
         where the reference just re-runs dynamic shapes (infer_tool.py:297).
         """
+        z, f0, g = self.infer_pre(
+            c, f0, uv, spk, noise_scale=noise_scale, predict_f0=predict_f0,
+            vol=vol, sample_noise=sample_noise, lengths=lengths,
+        )
+        o = self.dec(
+            z, f0, g=g, rng=self.make_rng("noise") if sample_noise else None
+        )
+        return o, f0
+
+    def infer_pre(
+        self,
+        c: jax.Array,
+        f0: jax.Array,
+        uv: jax.Array,
+        spk: jax.Array,
+        noise_scale: float = 0.35,
+        predict_f0: bool = False,
+        vol: jax.Array | None = None,
+        sample_noise: bool = True,
+        lengths: jax.Array | None = None,
+    ):
+        """``infer`` up to (and excluding) the vocoder decode.
+
+        Returns (z_masked [B, T, inter], f0 [B, T], g [B, ., gin]) — the
+        decoder inputs. The sequence-parallel path decodes these latents
+        time-sharded over a device mesh (parallel/sequence.sharded_decode,
+        SURVEY §5.7); everything upstream (~3% of inference FLOPs) runs
+        replicated.
+        """
         g = self._speaker_embedding(spk)
         if lengths is None:
             lengths = jnp.full((c.shape[0],), c.shape[1])
@@ -461,7 +490,4 @@ class Synthesizer(nn.Module):
             rng=self.make_rng("noise") if sample_noise else None,
         )
         z = self.flow(z_p, x_mask, g=g, reverse=True)
-        o = self.dec(
-            z * x_mask, f0, g=g, rng=self.make_rng("noise") if sample_noise else None
-        )
-        return o, f0
+        return z * x_mask, f0, g

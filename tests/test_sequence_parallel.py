@@ -105,3 +105,51 @@ def test_phase0_continuation():
     np.testing.assert_allclose(
         wav2[:, halo * upp :], mono[:, (t_f // 2) * upp :], rtol=2e-4, atol=2e-5
     )
+
+
+def test_svc_infer_seq_parallel_e2e(svc):
+    """--seq_shard product path (r2 VERDICT next #7): the whole song runs as
+    one dispatch with the decode time-sharded over the 8-device CPU mesh,
+    matching the monolithic deterministic infer away from the song edges."""
+    from sovits_tpu.models import Synthesizer
+    from sovits_tpu.models.factory import build_decoder
+    from sovits_tpu.parallel.sequence import required_halo_frames
+
+    sr = svc.target_sample
+    t = np.arange(int(2.0 * sr)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+    audio, n_samples, n_frames = svc.infer_seq_parallel(
+        "spk0", 0, wav, sr, f0_predictor="dio",
+        sample_noise=False, noice_scale=0.0,
+    )
+    assert n_samples == n_frames * svc.hop_size == len(audio)
+    assert np.isfinite(audio).all()
+
+    # monolithic deterministic reference on the same prepared inputs
+    item = svc._prepare_chunk("spk0", 0, wav, sr, 0.0, False, "dio", 0.05, None)
+    n = 8
+    t_pad = -(-item["n_frames"] // n) * n
+
+    def pad_t(x):
+        x = np.asarray(x, np.float32)
+        return np.pad(x, [(0, t_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+
+    mono, _ = svc.model.apply(
+        {"params": svc.params},
+        jnp.asarray(pad_t(item["c"]))[None],
+        jnp.asarray(pad_t(item["f0"]))[None],
+        jnp.asarray(pad_t(item["uv"]))[None],
+        item["spk_array"],
+        noise_scale=0.0,
+        lengths=jnp.asarray([item["n_frames"]], jnp.int32),
+        sample_noise=False,
+        method=Synthesizer.infer,
+    )
+    mono = np.asarray(mono)[0, : len(audio), 0]
+
+    halo = required_halo_frames(build_decoder(svc.hps))
+    edge = halo * svc.hop_size  # song-edge boundary-condition zone
+    np.testing.assert_allclose(
+        audio[edge:-edge], mono[edge:-edge], rtol=2e-4, atol=2e-5
+    )
