@@ -56,7 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-ss", "--seq_shard", type=int, default=0,
         help="time-shard the vocoder decode over N mesh devices and run the "
-        "whole song as one dispatch (skips the slicer loop; SURVEY §5.7)",
+        "whole song as one dispatch (skips the slicer loop; SURVEY §5.7). "
+        "Plain VITS decode only: incompatible with -shd/-od/-eh/-usm/-lea. "
+        "Audio within the decoder's receptive field (~2 frames) of the song "
+        "edges may deviate slightly from the chunked decode (edge-zone "
+        "contract; see Svc.infer_seq_parallel)",
     )
     return p
 
@@ -64,6 +68,27 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+
+    if args.seq_shard:
+        # seq-parallel decode is plain VITS only: it never runs the
+        # shallow-diffusion / enhancer / loudness post stages or spk mixes,
+        # so reject those combinations instead of silently dropping them
+        incompatible = [
+            ("--shallow_diffusion", args.shallow_diffusion),
+            ("--only_diffusion", args.only_diffusion),
+            ("--enhance", args.enhance),
+            ("--use_spk_mix", args.use_spk_mix),
+            (
+                "--loudness_envelope_adjustment != 1",
+                args.loudness_envelope_adjustment != 1,
+            ),
+        ]
+        bad = [flag for flag, on in incompatible if on]
+        if bad:
+            raise SystemExit(
+                "--seq_shard runs the plain VITS decode only and cannot be "
+                "combined with: " + ", ".join(bad)
+            )
 
     svc = Svc(
         args.model_path,

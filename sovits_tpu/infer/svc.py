@@ -398,19 +398,23 @@ class Svc:
         all-gathered sine-phase prefix, so collectives ride ICI and the
         result matches the monolithic decode away from the song edges.
 
-        ``sample_noise`` draws the prior's noise as usual; the decode's own
-        noise conv rng stays None in this mode (deterministic decode — the
-        sharded oscillator phase math is defined for rng=None).
-        Per-frame speaker mixes are not supported here (g must be [B,1,gin]).
+        ``sample_noise`` draws BOTH the prior's noise and the NSF source's
+        additive noise/random phases; the decode noise is counter-based per
+        absolute frame (models/nsf_hifigan.py SourceModuleHnNSF
+        noise_frames) so the sharded result equals a monolithic decode with
+        the same key, seam-free. Per-frame speaker mixes are not supported
+        here (g must be [B,1,gin]). Audio within
+        ``required_halo_frames(dec)`` frames of the song edges may deviate
+        slightly from the monolithic decode (edge-zone contract; the halo
+        there is zero-filled rather than absent).
         Returns (audio, n_samples, n_frames) like ``infer``.
         """
         from jax.sharding import Mesh
 
-        from ..parallel.sequence import sharded_decode
+        from ..parallel.sequence import required_halo_frames, sharded_decode
 
-        devs = jax.devices()
-        n = min(n_shards or len(devs), len(devs))
-        mesh = Mesh(np.array(devs[:n]), ("seq",))
+        if isinstance(speaker, dict):
+            raise ValueError("seq-parallel inference does not support spk mix")
 
         item = self._prepare_chunk(
             speaker, tran, wav, sr, cluster_infer_ratio, False,
@@ -419,6 +423,17 @@ class Svc:
         if item["spk"][0] == "mix":
             raise ValueError("seq-parallel inference does not support spk mix")
         n_frames = item["n_frames"]
+
+        if not hasattr(self, "_seq_dec"):
+            self._seq_dec = factory.build_decoder(self.hps, dtype=self.model.dtype)
+            self._seq_halo = required_halo_frames(self._seq_dec)
+            self._seq_decode_jit = {}
+        devs = jax.devices()
+        n = min(n_shards or len(devs), len(devs))
+        # each shard must hold at least the halo, or the edge slices in
+        # sharded_decode would be ill-formed (short clip + large --seq_shard)
+        n = max(1, min(n, n_frames // max(self._seq_halo, 1)))
+        mesh = Mesh(np.array(devs[:n]), ("seq",))
         t_pad = -(-n_frames // n) * n  # multiple of the mesh axis
 
         def pad_t(x, dtype=np.float32):
@@ -455,9 +470,22 @@ class Svc:
             bool(sample_noise),
         )
 
-        dec = factory.build_decoder(self.hps, dtype=self.model.dtype)
-        wav_out = sharded_decode(
-            dec, self.params["dec"], z, f0_out, g, mesh, axis="seq"
+        # jit the sharded decode once per (n_shards, noise) combination so
+        # repeated calls reuse the mesh/shard_map/compiled program
+        cache_key = (n, bool(sample_noise))
+        if cache_key not in self._seq_decode_jit:
+            dec = self._seq_dec
+
+            def decode(params, z, f0_out, g, key):
+                return sharded_decode(
+                    dec, params, z, f0_out, g, mesh, axis="seq",
+                    rng=key if sample_noise else None,
+                )
+
+            self._seq_decode_jit[cache_key] = jax.jit(decode)
+        wav_out = self._seq_decode_jit[cache_key](
+            self.params["dec"], z, f0_out, g,
+            jax.random.PRNGKey(seed),  # threefry: counter noise folds per frame
         )
         audio = np.asarray(wav_out)[0, : n_frames * self.hop_size, 0]
         return audio, audio.shape[-1], n_frames

@@ -114,10 +114,20 @@ class SourceModuleHnNSF(nn.Module):
         upp: int,
         rng: jax.Array | None = None,
         phase0: jax.Array | None = None,  # [B, H] turns, adds to the base
+        noise_frames: tuple[int, int] | jax.Array | None = None,
     ) -> tuple[jax.Array, jax.Array]:
         """phase0: per-harmonic phase (in turns) accumulated BEFORE this
         chunk's first frame — lets a time-sharded decode continue the sine
-        phase across shard boundaries exactly (parallel/sequence.py)."""
+        phase across shard boundaries exactly (parallel/sequence.py).
+
+        noise_frames: (frame_offset, total_frames) switches the additive
+        source noise to a COUNTER-BASED per-frame stream: frame t draws its
+        noise from fold_in(rng, frame_offset + t), masked to zero outside
+        [0, total_frames). Because the draw depends only on the absolute
+        frame index, a time-sharded decode that passes each shard's global
+        offset reproduces the monolithic noise stream bit-exactly
+        (sample_noise=True sequence parallelism). frame_offset may be a
+        traced scalar."""
         h = self.harmonic_num + 1
         b, t_f = f0_frames.shape
         # torch nn.Linear default init; kernel [H, 1] as in the Dense variant.
@@ -157,8 +167,19 @@ class SourceModuleHnNSF(nn.Module):
         uv4 = uv_f[:, None, :, None]  # [B, 1, T_f, 1]
         if rng_noise is not None:
             noise_amp = uv4 * self.add_noise_std + (1.0 - uv4) * self.sine_amp / 3.0
-            noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
-            sines = sines * uv4 + noise
+            if noise_frames is not None:
+                offset, total = noise_frames
+                ids = offset + jnp.arange(t_f, dtype=jnp.int32)
+                keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                    rng_noise, ids
+                )
+                u = jax.vmap(lambda k: jax.random.normal(k, (b, h, upp)))(keys)
+                u = jnp.moveaxis(u, 0, 2)  # [B, H, T_f, upp]
+                valid = jnp.logical_and(ids >= 0, ids < total)
+                u = u * valid[None, None, :, None].astype(u.dtype)
+            else:
+                u = jax.random.normal(rng_noise, sines.shape)
+            sines = sines * uv4 + noise_amp * u
         else:
             sines = sines * uv4
 
@@ -218,6 +239,7 @@ class Generator(nn.Module):
         g: jax.Array | None = None,  # [B, 1, gin]
         rng: jax.Array | None = None,
         phase0: jax.Array | None = None,  # [B, 9] sine phase continuation
+        noise_frames: tuple[int, int] | None = None,  # counter-based noise
     ) -> jax.Array:
         upp = int(np.prod(self.upsample_rates))
         num_kernels = len(self.resblock_kernel_sizes)
@@ -228,7 +250,7 @@ class Generator(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="m_source",
-        )(f0, upp, rng, phase0)
+        )(f0, upp, rng, phase0, noise_frames)
 
         x = Conv1d(
             features=self.upsample_initial_channel,
@@ -321,12 +343,14 @@ class Generator(nn.Module):
                 and fold * ch == 128
             )
             if use_pallas:
-                from ..ops.fused_stage import fused_resblock_trio_folded
+                from ..ops.fused_stage import trio_folded
 
                 pairs = []  # (kernel, bias) in chain order across the trio
                 for rb_mod in rb_mods:
                     pairs.extend(rb_mod(x, folded=True, return_weights=True))
-                x = fused_resblock_trio_folded(
+                # custom-VJP wrapper: the same Pallas forward serves
+                # inference AND training (backward = recomputed XLA chain)
+                x = trio_folded(
                     x,
                     [kb[0] for kb in pairs],
                     [kb[1] for kb in pairs],

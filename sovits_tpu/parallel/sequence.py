@@ -84,8 +84,17 @@ def sharded_decode(
     mesh: Mesh,
     axis: str = "data",
     halo: int | None = None,  # frames; None derives it from the generator
+    rng: jax.Array | None = None,  # enables the NSF source noise
 ) -> jax.Array:
-    """Time-sharded deterministic decode. Returns [B, T_f * upp, 1]."""
+    """Time-sharded decode. Returns [B, T_f * upp, 1].
+
+    rng=None decodes deterministically. With an rng, the NSF source's
+    additive noise and random harmonic phases are ON: every shard receives
+    the SAME key (so the rand-ini phases agree) and the per-sample noise is
+    drawn counter-based per absolute frame (SourceModuleHnNSF
+    noise_frames), so the sharded result equals the monolithic decode with
+    the same key and noise_frames=(0, T_f) bit-for-bit away from the song
+    edges."""
     n = mesh.shape[axis]
     b, t_f, c = x.shape
     needed = required_halo_frames(generator)
@@ -148,6 +157,8 @@ def sharded_decode(
         wav_ext = generator.apply(
             {"params": params}, x_ext, f0_ext,
             g_rep if has_g else None, phase0=phase0_ext,
+            rng=rng,
+            noise_frames=(idx * tl - halo, t_f) if rng is not None else None,
         )  # [B, (tl + 2*halo) * upp, 1]
         return jax.lax.slice_in_dim(
             wav_ext, halo * upp, (halo + tl) * upp, axis=1
