@@ -123,7 +123,10 @@ def train(hps, model_dir: str | Path, max_steps: int | None = None, mesh=None):
     batch_size = hps.train.batch_size
     assert batch_size % n_data == 0, (batch_size, n_data)
 
-    syn = factory.build_synthesizer(hps)
+    # the Pallas fused vocoder tail serves training too (custom VJP with a
+    # recomputed XLA-chain backward, ops/fused_stage.py trio_folded);
+    # interpret-mode Pallas is far too slow off-TPU, so gate on backend
+    syn = factory.build_synthesizer(hps, fused_tail=jax.default_backend() == "tpu")
     disc = factory.build_discriminator(hps)
     rng = jax.random.PRNGKey(hps.train.seed)
     # in-step randomness (slice/noise/dropout) uses the hardware rbg PRNG:

@@ -134,3 +134,63 @@ def test_generator_fused_tail_matches_folded_xla():
     got = fused_mod.apply(variables, x, f0, g, rng=None)
     assert got.shape == ref.shape == (1, t_f * 16, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    # ---- train path: the fused tail is differentiable (custom VJP) and
+    # its gradients match the pure folded-XLA generator's (r3 VERDICT #2)
+    def loss(mod):
+        def f(params):
+            wav = mod.apply({"params": params}, x, f0, g, rng=None)
+            return jnp.sum(wav**2) * 1e3
+        return f
+
+    g_fused = jax.grad(loss(fused_mod))(variables["params"])
+    g_ref = jax.grad(loss(ref_mod))(variables["params"])
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_trio_folded_vjp_matches_xla_chain():
+    """trio_folded (Pallas fwd + custom VJP) == trio_folded_xla in value
+    AND gradient, for x, kernels and biases."""
+    from sovits_tpu.ops.fused_stage import trio_folded, trio_folded_xla
+
+    rng = np.random.default_rng(5)
+    p, c = 4, 32  # D = 128
+    ks = (3, 7)
+    dils = ((1, 3), (1, 3))
+    n_conv = sum(2 * len(d) for d in dils)
+    xf = jnp.asarray(rng.standard_normal((2, 24, p * c)), jnp.float32) * 0.3
+    kernels = tuple(
+        jnp.asarray(rng.standard_normal((k, c, c)) * 0.05, jnp.float32)
+        for k, d in zip(ks, dils) for _ in range(2 * len(d))
+    )
+    assert len(kernels) == n_conv
+    biases = tuple(
+        jnp.asarray(rng.standard_normal(c) * 0.01, jnp.float32)
+        for _ in range(n_conv)
+    )
+
+    out_p = trio_folded(xf, kernels, biases, p, ks, dils)
+    out_x = trio_folded_xla(xf, kernels, biases, p, ks, dils)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=2e-5
+    )
+
+    def loss(fn):
+        def f(args):
+            xf, kernels, biases = args
+            return jnp.sum(fn(xf, kernels, biases, p, ks, dils) ** 2)
+        return f
+
+    g_p = jax.grad(loss(trio_folded))((xf, kernels, biases))
+    g_x = jax.grad(loss(trio_folded_xla))((xf, kernels, biases))
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )
