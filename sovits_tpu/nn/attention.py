@@ -263,6 +263,16 @@ class MultiHeadAttention(nn.Module):
             diff = r[None, :] - r[:, None]
             scores = scores + (-jnp.log1p(jnp.abs(diff)))[None, None]
 
+        if causal:
+            # structured causal mask: applied here (not only via attn_mask)
+            # so `causal=True` alone is honored — previously this path
+            # silently ignored it, which the bench's on-chip Pallas-vs-jnp
+            # parity gate caught in round 4 (the fused kernel was right)
+            off = (
+                jnp.arange(t_s, dtype=jnp.int32)[None, :]
+                - jnp.arange(t_t, dtype=jnp.int32)[:, None]
+            )
+            scores = jnp.where(off[None, None] <= 0, scores, -1e4)
         if attn_mask is not None:
             scores = jnp.where(attn_mask == 0, -1e4, scores)
 

@@ -151,3 +151,36 @@ def test_modules_fused_vs_jnp(module):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b2), rtol=5e-4, atol=5e-4
         )
+
+
+def test_mha_causal_without_attn_mask():
+    """`causal=True` alone must mask future keys in BOTH paths (round-4
+    regression: the jnp path silently ignored it when attn_mask was None;
+    caught by bench.py's on-chip Pallas parity gate)."""
+    rng = np.random.default_rng(3)
+    b, t, c = 2, 40, 32
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32) * 0.3
+    mha = MultiHeadAttention(channels=c, out_channels=c, n_heads=2, use_fused=False)
+    variables = mha.init(jax.random.PRNGKey(0), x, x, causal=True)
+
+    causal_only = mha.apply(variables, x, x, causal=True)
+    tri = jnp.tril(jnp.ones((t, t), jnp.float32))[None, None]
+    with_mask = mha.apply(variables, x, x, tri, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(causal_only), np.asarray(with_mask), rtol=1e-6, atol=1e-6
+    )
+
+    # and it actually masks: the first frame must ignore all later frames
+    x2 = x.at[:, 1:].add(1.0)
+    out_a = mha.apply(variables, x, x, causal=True)
+    out_b = mha.apply(variables, x2, x2, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out_a)[:, 0], np.asarray(out_b)[:, 0], rtol=1e-5, atol=1e-6
+    )
+
+    # fused (interpret) path agrees
+    fused = MultiHeadAttention(channels=c, out_channels=c, n_heads=2, use_fused=True)
+    got = fused.apply(variables, x, x, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(causal_only), rtol=2e-5, atol=2e-5
+    )
