@@ -14,12 +14,21 @@ wall_time / (samples / sample_rate).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the bench compiles several large programs
+# (full synthesizer x2, the fused GAN train step in a scan); cached
+# executables cut a repeat run's wall clock by minutes (r3 VERDICT next #3:
+# the driver's round-3 bench run timed out on compilation, rc=124).
+os.makedirs("/root/repo/.cache/jax", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 SECONDS = 10.0
 # The axon dev tunnel adds a ~28 ms floor to EVERY host->device dispatch.
@@ -28,6 +37,18 @@ SECONDS = 10.0
 # passthrough "measured" 2.7 ms at iters=10 but 0.06 ms at iters=200).
 # Fix: many iterations AND explicit null-loop subtraction.
 ITERS = 200
+
+# Wall-clock budget for the whole bench (the driver kills overruns; r3's
+# run died at rc=124 AFTER the headline but BEFORE any detail landed).
+# Stages run in priority order, each gated on remaining budget, and
+# bench_details.json is rewritten after EVERY stage so a kill never loses
+# completed results again.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "480"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _T0)
 
 
 def _scan_raw(fn, *args, iters):
@@ -157,20 +178,154 @@ def main():
         "synthesizer_rtf": syn_time / SECONDS,
         "n_samples": n_samples,
     }
-    try:
-        details["mel_l1_vs_torch_fullsize"] = bench_mel_l1(hps)
-    except Exception as e:
-        details["mel_l1_error"] = repr(e)
-    try:
-        details["pallas_parity"] = bench_pallas_parity(hps)
-    except Exception as e:
-        details["pallas_parity"] = {"ok": False, "error": repr(e)}
-    try:
-        details["train_steps_per_sec"] = bench_train_step(hps)
-    except Exception as e:
-        details["train_bench_error"] = repr(e)
-    with open("bench_details.json", "w") as f:
-        json.dump(details, f, indent=2)
+
+    def flush():
+        with open("bench_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+
+    def stage(key, fn, min_budget_s):
+        """Run a detail stage if the remaining budget allows; always flush."""
+        left = _remaining()
+        if left < min_budget_s:
+            details[key] = {
+                "skipped": f"deadline: {left:.0f}s left < {min_budget_s}s budget"
+            }
+        else:
+            t0 = time.monotonic()
+            try:
+                details[key] = fn()
+            except Exception as e:
+                details[key] = {"ok": False, "error": repr(e)}
+            details.setdefault("stage_seconds", {})[key] = round(
+                time.monotonic() - t0, 1
+            )
+        flush()
+
+    flush()
+    # priority order (r3 VERDICT next #3): the never-yet-captured on-chip
+    # evidence first, the expensive torch-parity build last
+    stage("pallas_parity", lambda: bench_pallas_parity(hps), 45)
+    stage("train_steps_per_sec", lambda: bench_train_step(hps), 90)
+    stage("learning", bench_learning, 60)
+    stage("mel_l1_vs_torch_fullsize", lambda: bench_mel_l1(hps), 60)
+
+
+def bench_learning(steps: int = 300) -> dict:
+    """On-chip proof the GAN trainer LEARNS (r3 VERDICT next #1).
+
+    Overfits one fixed synthetic batch (sine-wave clips, tiny config) for
+    `steps` fused train steps in a single device-side scan, then checks:
+    G total loss and the mel term decline materially, and deterministic
+    synthesis from the trained params is non-degenerate (finite,
+    non-silent) with a much lower mel-L1 to ground truth than at init.
+    The reference's implicit gate is periodic evaluate() synthesis
+    (train.py:256-325); this is the bench-embedded equivalent of
+    tests/test_learning.py on real hardware."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from tiny import tiny_hps
+
+    from sovits_tpu import train as strain
+    from sovits_tpu.dsp import stft as dsp_stft
+    from sovits_tpu.models import Synthesizer, factory
+
+    hps = tiny_hps(**{"train.learning_rate": 2e-4})
+    rng = np.random.default_rng(11)
+    sr, hop = hps.data.sampling_rate, hps.data.hop_length
+    b, frames = 8, 64
+    n = frames * hop
+    t = np.arange(n) / sr
+    wavs, f0s = [], []
+    for i in range(b):
+        freq = 150.0 + 22.0 * i
+        wavs.append((0.3 * np.sin(2 * np.pi * freq * t)).astype(np.float32))
+        f0s.append(np.full(frames, freq, np.float32))
+    wav = np.stack(wavs)
+    spec = np.stack(
+        [
+            np.asarray(
+                dsp_stft.spectrogram(
+                    jnp.asarray(w[None]), hps.data.filter_length, hop,
+                    hps.data.win_length,
+                )[0]
+            )
+            for w in wavs
+        ]
+    )
+    batch = {
+        "c": jnp.asarray(rng.standard_normal((b, frames, hps.model.ssl_dim)), jnp.float32),
+        "f0": jnp.asarray(np.stack(f0s)),
+        "uv": jnp.ones((b, frames), jnp.float32),
+        "spec": jnp.asarray(spec),
+        "wav": jnp.asarray(wav[..., None]),
+        "spk": jnp.asarray(np.arange(b) % hps.model.n_speakers, jnp.int32),
+        "lengths": jnp.full((b,), frames, jnp.int32),
+        "volume": jnp.asarray(np.abs(wav).reshape(b, frames, hop).mean(-1)),
+    }
+
+    syn = factory.build_synthesizer(hps)
+    disc = factory.build_discriminator(hps)
+    g_params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16)
+    d_params = factory.init_discriminator_params(
+        disc, jax.random.PRNGKey(1), seg_samples=hps.train.segment_size
+    )
+    g_tx = strain.make_optimizer(hps)
+    d_tx = strain.make_optimizer(hps)
+    state = strain.create_train_state(g_params, d_params, g_tx, d_tx)
+    raw_step = strain.make_train_step(syn, disc, g_tx, d_tx, hps, jit_compile=False)
+
+    def eval_mel_l1(params):
+        wav_hat, _ = syn.apply(
+            {"params": params}, batch["c"][:2], batch["f0"][:2],
+            batch["uv"][:2], batch["spk"][:2], vol=batch["volume"][:2],
+            sample_noise=False, method=Synthesizer.infer,
+        )
+        mel_kw = dict(
+            n_fft=hps.data.filter_length, n_mels=hps.data.n_mel_channels,
+            sample_rate=sr, hop_length=hop, win_length=hps.data.win_length,
+            fmin=hps.data.mel_fmin, fmax=hps.data.mel_fmax,
+        )
+        gt = dsp_stft.mel_spectrogram(batch["wav"][:2, :, 0], **mel_kw)
+        got = dsp_stft.mel_spectrogram(wav_hat[..., 0], **mel_kw)
+        tm = min(gt.shape[-1], got.shape[-1])
+        return wav_hat, jnp.mean(jnp.abs(gt[..., :tm] - got[..., :tm]))
+
+    @jax.jit
+    def run(state):
+        def body(st, i):
+            st, metrics = raw_step(
+                st, batch, jax.random.fold_in(jax.random.key(3, impl="rbg"), i)
+            )
+            return st, (metrics["loss/g/total"], metrics["loss/g/mel"])
+
+        st, (g_tot, g_mel) = jax.lax.scan(body, state, jnp.arange(steps))
+        return st, g_tot, g_mel
+
+    _, mel0 = jax.jit(eval_mel_l1)(g_params)
+    state, g_tot, g_mel = run(state)
+    wav_hat, mel1 = jax.jit(eval_mel_l1)(state.g_params)
+    wav_hat = np.asarray(wav_hat, np.float32)
+    g_tot, g_mel = np.asarray(g_tot), np.asarray(g_mel)
+    k = max(steps // 12, 1)
+    out = {
+        "steps": steps,
+        "g_total_first": float(g_tot[:k].mean()),
+        "g_total_last": float(g_tot[-k:].mean()),
+        "g_mel_first": float(g_mel[:k].mean()),
+        "g_mel_last": float(g_mel[-k:].mean()),
+        "eval_mel_l1_init": float(mel0),
+        "eval_mel_l1_trained": float(mel1),
+        "eval_finite": bool(np.isfinite(wav_hat).all()),
+        "eval_nonsilent": bool(np.abs(wav_hat).max() > 1e-3),
+    }
+    out["ok"] = (
+        out["eval_finite"]
+        and out["eval_nonsilent"]
+        and out["g_mel_last"] < 0.7 * out["g_mel_first"]
+        and out["eval_mel_l1_trained"] < 0.7 * out["eval_mel_l1_init"]
+    )
+    return out
 
 
 def bench_pallas_parity(hps, t_frames: int = 128) -> dict:
@@ -355,11 +510,13 @@ def bench_mel_l1(hps, t_frames: int = 861) -> float:
     return float(np.abs(mel_ref - mel_got).mean())
 
 
-def bench_train_step(hps, iters: int = 80, iters_short: int = 20) -> float:
+def bench_train_step(hps, iters: int = 60) -> float:
     """Full-size fused GAN train step rate on one chip (bf16 compute),
-    batch 6 x 512 frames (max_speclen, config_template.json:23). Steps run
-    inside device-side scans; the rate comes from the difference of a long
-    and a short scan, cancelling the tunnel's fixed per-dispatch floor."""
+    batch 6 x 512 frames (max_speclen, config_template.json:23). One
+    device-side scan of `iters` steps, ONE compile (the r3 long+short
+    double compile was the bench's biggest cost and got the driver run
+    killed); at 60 steps/call the tunnel's ~28 ms dispatch floor is a
+    <1.5% pessimistic bias, noted rather than subtracted."""
     from sovits_tpu import train as strain
     from sovits_tpu.models import factory
     from sovits_tpu.parallel import make_mesh, replicate_tree, shard_batch
@@ -368,7 +525,10 @@ def bench_train_step(hps, iters: int = 80, iters_short: int = 20) -> float:
     hps.train["batch_size"] = 6
     mesh = make_mesh(n_data=1, n_model=1)
 
-    syn = factory.build_synthesizer(hps, dtype=jnp.bfloat16)
+    syn = factory.build_synthesizer(
+        hps, dtype=jnp.bfloat16,
+        fused_tail=jax.default_backend() == "tpu",  # custom-VJP train tail
+    )
     disc = factory.build_discriminator(hps, dtype=jnp.bfloat16)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         g_params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16)
@@ -401,33 +561,25 @@ def bench_train_step(hps, iters: int = 80, iters_short: int = 20) -> float:
         mesh,
     )
 
-    # device-side loops: N steps per host round trip (tunnel-latency immune)
-    def make_loop(n):
-        def loop(state):
-            def body(st, i):
-                st, metrics = raw_step(
-                    st, batch,
-                    jax.random.fold_in(jax.random.key(0, impl="rbg"), i),
-                )
-                return st, metrics["loss/g/total"]
-            st, losses = jax.lax.scan(body, state, jnp.arange(n))
-            return st, losses.sum()
-        return jax.jit(loop, donate_argnums=(0,))
+    # device-side loop: N steps per host round trip (tunnel-latency immune)
+    def loop(state):
+        def body(st, i):
+            st, metrics = raw_step(
+                st, batch,
+                jax.random.fold_in(jax.random.key(0, impl="rbg"), i),
+            )
+            return st, metrics["loss/g/total"]
 
-    long_jit, short_jit = make_loop(iters), make_loop(iters_short)
-    state, warm = short_jit(state)
-    np.asarray(warm)
-    state, warm = long_jit(state)
+        st, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return st, losses.sum()
+
+    loop_jit = jax.jit(loop, donate_argnums=(0,))
+    state, warm = loop_jit(state)  # compile + warm
     np.asarray(warm)
     t0 = time.perf_counter()
-    state, out = short_jit(state)
+    state, out = loop_jit(state)
     np.asarray(out)
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    state, out = long_jit(state)
-    np.asarray(out)
-    t_long = time.perf_counter() - t0
-    return (iters - iters_short) / (t_long - t_short)
+    return iters / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":
