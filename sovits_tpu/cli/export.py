@@ -122,9 +122,66 @@ def export_synthesizer_onnx(model_path: str, config_path: str, out_path: str) ->
     print(f"wrote {out_path} ({len(data) / 1e6:.1f} MB) + MoeVS sidecar json")
 
 
+def export_diffusion_onnx(model_path: str, config_path: str, out_prefix: str) -> None:
+    """Emit the four MoeSS diffusion artifacts
+    ({prefix}_encoder/_denoise/_pred/_after.onnx — the reference
+    diffusion/onnx_export.py:135-235 bundle), each verified load-and-run
+    through the in-repo numpy ONNX runtime before writing."""
+    from ..export.onnx_diffusion import build_diffusion_onnx
+    from ..export.onnx_run import run_model
+    from ..train.diffusion import (
+        build_unit2mel,
+        load_diffusion_config,
+        load_torch_unit2mel,
+    )
+
+    args = load_diffusion_config(config_path)
+    if model_path.endswith(".npz"):  # train_diffusion's release artifact
+        from .tools import unflatten_params
+
+        params = unflatten_params(dict(np.load(model_path)))
+        # mel dims come from the vocoder normally; recover from the ckpt
+        mel_dims = int(params["denoiser"]["input_projection"]["kernel"].shape[1])
+        model = build_unit2mel(args, mel_dims)
+    else:  # reference torch checkpoint
+        model, variables = load_torch_unit2mel(model_path, args)
+        params = jax.tree.map(np.asarray, variables["params"])
+    graphs = build_diffusion_onnx(params, model)
+
+    # load-and-run smoke on every artifact before shipping bytes
+    t = 8
+    feeds_enc = {
+        "hubert": np.zeros((1, t, model.input_channel), np.float32),
+        "mel2ph": np.arange(1, t + 1, dtype=np.int64)[None],
+        "f0": np.full((1, t), 220.0, np.float32),
+        "volume": np.zeros((1, t), np.float32),
+    }
+    if (model.n_spk or 1) > 1:
+        feeds_enc["spk_mix"] = np.full(
+            (t, model.n_spk), 1.0 / model.n_spk, np.float32
+        )
+    cond = run_model(graphs["encoder"], feeds_enc)["mel_pred"]
+    noise = np.zeros((1, 1, model.out_dims, t), np.float32)
+    tt = np.asarray([1], np.int64)
+    np_pred = run_model(
+        graphs["denoise"], {"noise": noise, "time": tt, "condition": cond}
+    )["noise_pred"]
+    x = run_model(
+        graphs["pred"],
+        {"noise": noise, "noise_pred": np_pred, "time": tt, "time_prev": tt},
+    )["noise_pred_o"]
+    mel = run_model(graphs["after"], {"x": x})["mel_out"]
+    assert np.isfinite(mel).all()
+
+    for suffix, data in graphs.items():
+        out = f"{out_prefix}_{suffix}.onnx"
+        Path(out).write_bytes(data)
+        print(f"wrote {out} ({len(data) / 1e6:.1f} MB)")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="export the synthesizer (StableHLO or ONNX)"
+        description="export the synthesizer or diffusion model (StableHLO or ONNX)"
     )
     parser.add_argument("-m", "--model_path", required=True)
     parser.add_argument("-c", "--config_path", default="configs/config.json")
@@ -134,8 +191,22 @@ def main(argv=None):
         "--onnx", action="store_true",
         help="emit a MoeSS-contract ONNX model instead of StableHLO",
     )
+    parser.add_argument(
+        "--diffusion", action="store_true",
+        help="export the shallow-diffusion model (-m diffusion ckpt, -c "
+        "diffusion.yaml); with --onnx, emits the four MoeSS artifacts "
+        "{output}_encoder/_denoise/_pred/_after.onnx",
+    )
     args = parser.parse_args(argv)
-    if args.onnx:
+    if args.diffusion:
+        if not args.onnx:
+            raise SystemExit("--diffusion currently requires --onnx")
+        prefix = args.output
+        for ext in (".onnx", ".stablehlo"):
+            if prefix.endswith(ext):
+                prefix = prefix[: -len(ext)]
+        export_diffusion_onnx(args.model_path, args.config_path, prefix)
+    elif args.onnx:
         out = args.output
         if out.endswith(".stablehlo"):
             out = out[: -len(".stablehlo")] + ".onnx"

@@ -135,6 +135,8 @@ def run_model(model_bytes: bytes, feeds: dict[str, np.ndarray]) -> dict[str, np.
             r = 1.0 / (1.0 + np.exp(-i[0]))
         elif op == "Relu":
             r = np.maximum(i[0], 0)
+        elif op == "Softplus":
+            r = np.logaddexp(0.0, i[0]).astype(np.float32)
         elif op == "LeakyRelu":
             alpha = a.get("alpha", 0.01)
             r = np.where(i[0] >= 0, i[0], alpha * i[0]).astype(np.float32)
