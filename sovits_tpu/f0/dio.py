@@ -30,7 +30,9 @@ class DioF0Predictor(F0Predictor):
     decimation (fs/4 for StoneMask, fs/12 for the band analysis), scipy
     overlap-save band filtering in float32, C++ track extraction +
     candidate scoring, and the C++ direct-bin StoneMask on the fs/4 signal
-    (~12 ms per 10 s 44.1 kHz clip on one host core). ``exact=True`` runs
+    (~12 ms per 10 s 44.1 kHz clip on one IDLE host core — the canonical
+    per-round in-pipeline number is bench_details.json: dio_time_s; see
+    PROFILE.md "Host f0 predictors"). ``exact=True`` runs
     the pure float64 numpy speed=1 oracle path (bit-for-bit the parity
     reference used by tests/test_native.py). Measured fast-vs-exact
     deviation on the speechlike fixture

@@ -28,6 +28,9 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     use_spectral_norm: bool = False
+    # reference tower widths (models.py:165-200); overridable for tiny
+    # CI/smoke configs only — training parity requires the defaults
+    channels: tuple[int, ...] = (32, 128, 512, 1024)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -42,7 +45,7 @@ class DiscriminatorP(nn.Module):
 
         fmap = []
         pad = (self.kernel_size - 1) // 2
-        for i, ch in enumerate((32, 128, 512, 1024)):
+        for i, ch in enumerate(self.channels):
             x = Conv2d(
                 features=ch,
                 kernel_size=(self.kernel_size, 1),
@@ -57,7 +60,7 @@ class DiscriminatorP(nn.Module):
             x = leaky_relu(x)
             fmap.append(x)
         x = Conv2d(
-            features=1024,
+            features=self.channels[-1],
             kernel_size=(self.kernel_size, 1),
             strides=(1, 1),
             padding=(pad, 0),
@@ -85,6 +88,17 @@ class DiscriminatorP(nn.Module):
 
 class DiscriminatorS(nn.Module):
     use_spectral_norm: bool = False
+    # reference scale-disc specs (models.py:203-227), one row per conv:
+    # (features, kernel, stride, groups, padding); overridable for tiny
+    # CI/smoke configs only
+    specs: tuple[tuple[int, int, int, int, int], ...] = (
+        (16, 15, 1, 1, 7),
+        (64, 41, 4, 4, 20),
+        (256, 41, 4, 16, 20),
+        (1024, 41, 4, 64, 20),
+        (1024, 41, 4, 256, 20),
+        (1024, 5, 1, 1, 2),
+    )
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -92,16 +106,7 @@ class DiscriminatorS(nn.Module):
     def __call__(self, x: jax.Array):
         b = x.shape[0]
         fmap = []
-        specs = [
-            # (features, kernel, stride, groups, padding)
-            (16, 15, 1, 1, 7),
-            (64, 41, 4, 4, 20),
-            (256, 41, 4, 16, 20),
-            (1024, 41, 4, 64, 20),
-            (1024, 41, 4, 256, 20),
-            (1024, 5, 1, 1, 2),
-        ]
-        for i, (ch, k, s, grp, pad) in enumerate(specs):
+        for i, (ch, k, s, grp, pad) in enumerate(self.specs):
             x = Conv1d(
                 features=ch,
                 kernel_size=k,
@@ -133,21 +138,29 @@ class DiscriminatorS(nn.Module):
 class MultiPeriodDiscriminator(nn.Module):
     periods: tuple[int, ...] = PERIODS
     use_spectral_norm: bool = False
+    # None -> reference sizes; tiny CI configs may shrink (factory honors
+    # hps.model.disc_tiny for the CPU-mesh learning tests)
+    p_channels: tuple[int, ...] | None = None
+    s_specs: tuple[tuple[int, int, int, int, int], ...] | None = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jax.Array, y_hat: jax.Array):
         """Returns (real_logits, fake_logits, real_fmaps, fake_fmaps)."""
+        s_kw = {} if self.s_specs is None else {"specs": self.s_specs}
+        p_kw = {} if self.p_channels is None else {"channels": self.p_channels}
         discs = [
             DiscriminatorS(
                 use_spectral_norm=self.use_spectral_norm,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="disc_s",
+                **s_kw,
             )
         ] + [
             DiscriminatorP(
                 period=p, use_spectral_norm=self.use_spectral_norm,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"disc_p{p}",
+                **p_kw,
             )
             for p in self.periods
         ]

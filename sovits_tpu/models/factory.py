@@ -74,8 +74,23 @@ def build_decoder(hps: HParams, dtype=jnp.float32):
 
 
 def build_discriminator(hps: HParams, dtype=jnp.float32) -> MultiPeriodDiscriminator:
+    kw = {}
+    # CI/smoke knob, NOT a reference option: the reference discriminator
+    # towers are fixed-size regardless of config (models.py:165-252), which
+    # makes tiny-config CPU tests discriminator-bound (~6 s/step on one
+    # core). disc_tiny shrinks the towers for the learning-dynamics tests;
+    # real training must leave it unset.
+    if hps.model.get("disc_tiny"):
+        kw["periods"] = (2, 3)
+        kw["p_channels"] = (8, 16, 32, 64)
+        kw["s_specs"] = (
+            (8, 15, 1, 1, 7),
+            (16, 41, 4, 4, 20),
+            (32, 41, 4, 4, 20),
+            (64, 5, 1, 1, 2),
+        )
     return MultiPeriodDiscriminator(
-        use_spectral_norm=bool(hps.model.use_spectral_norm), dtype=dtype
+        use_spectral_norm=bool(hps.model.use_spectral_norm), dtype=dtype, **kw
     )
 
 

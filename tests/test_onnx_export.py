@@ -170,3 +170,59 @@ def test_onnx_transformer_flow_parity():
     syn, params = build_tiny(hps)
     wav_jax, audio, _ = run_both(hps, syn, params)
     assert np.abs(audio[0, 0] - wav_jax[0, :, 0]).max() < 2e-4
+
+
+@pytest.mark.slow
+def test_onnx_fullsize_parity_mel_l1():
+    """Full-size synthesizer emitted and EXECUTED (r3 VERDICT next #6).
+
+    All other ONNX tests use t=13 frames and 16-48-dim channels; this emits
+    the production config (192/768 channels, 5 upsample stages, window-4
+    rel-emb at T>>9) and runs a ~1.1 s clip through the numpy runtime,
+    asserting mel-L1 vs the jax forward < 1e-3 (the BASELINE.md north-star
+    tolerance, mirroring the reference's pre-export forward check
+    onnx_export.py:93-99). Catches size-dependent emitter bugs the tiny
+    configs cannot (Gather/Range index arithmetic, ConvTranspose padding at
+    stride 8, f0-coarse bucketing at full bin count).
+    """
+    from sovits_tpu.dsp import stft as dsp_stft
+
+    hps = scfg.default_config()
+    t = 96  # ~1.1 s at hop 512 / 44.1 kHz
+    syn, params = build_tiny(hps)  # full-size: tiny_hps overrides NOT applied
+
+    rng = np.random.default_rng(17)
+    c = (0.3 * rng.standard_normal((1, t, hps.model.ssl_dim))).astype(np.float32)
+    f0 = rng.uniform(100, 400, (1, t)).astype(np.float32)
+    f0[0, :3] = 0.0
+    uv = (f0 > 0).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        wav_jax, _ = syn.apply(
+            {"params": params}, jnp.asarray(c), jnp.asarray(f0),
+            jnp.asarray(uv), jnp.asarray([0], jnp.int32),
+            predict_f0=False, sample_noise=False, method=syn.infer,
+        )
+    wav_jax = np.asarray(wav_jax)[0, :, 0]
+
+    mb = build_synthesizer_onnx(params, hps, chara_mix=False)
+    audio = run_model(mb, {
+        "c": c, "f0": f0,
+        "mel2ph": np.arange(1, t + 1, dtype=np.int64)[None],
+        "uv": uv,
+        "noise": np.zeros((1, hps.model.inter_channels, t), np.float32),
+        "sid": np.asarray([0], np.int64),
+    })["audio"][0, 0]
+
+    n = min(len(wav_jax), len(audio))
+    assert n == t * 512
+    d = hps.data
+    mel_kw = dict(
+        n_fft=d.filter_length, n_mels=d.n_mel_channels,
+        sample_rate=d.sampling_rate, hop_length=d.hop_length,
+        win_length=d.win_length, fmin=d.mel_fmin, fmax=d.mel_fmax,
+    )
+    mel_jax = np.asarray(dsp_stft.mel_spectrogram(jnp.asarray(wav_jax[None, :n]), **mel_kw))
+    mel_onnx = np.asarray(dsp_stft.mel_spectrogram(jnp.asarray(audio[None, :n]), **mel_kw))
+    l1 = float(np.abs(mel_jax - mel_onnx).mean())
+    assert l1 < 1e-3, l1
