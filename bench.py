@@ -15,6 +15,7 @@ wall_time / (samples / sample_rate).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -49,6 +50,13 @@ _T0 = time.monotonic()
 
 def _remaining() -> float:
     return DEADLINE_S - (time.monotonic() - _T0)
+
+
+def _log(msg: str) -> None:
+    """Stage diagnostics on stderr: the driver consumes stdout (one JSON
+    headline line), stderr shows where the wall time goes."""
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def _scan_raw(fn, *args, iters):
@@ -107,13 +115,16 @@ def main():
     ).astype(np.float32)
 
     # --- stage 1: speech encoder (vec768l12 topology, random weights) ---
+    _log("stage 1: encoder init")
     enc_cfg = Wav2Vec2Config(output_layer=12)
     enc = Wav2Vec2Encoder(enc_cfg, dtype=jnp.bfloat16)
     wav16k = jnp.asarray(rng.standard_normal((1, int(16000 * SECONDS))), jnp.float32)
     enc_vars = jax.jit(enc.init)(jax.random.PRNGKey(0), wav16k)
+    _log("stage 1: encoder scan")
     enc_time = _scan_time(lambda v, w: enc.apply(v, w), enc_vars, wav16k, iters=50)
 
     # --- stage 2: DIO f0 (host DSP, reference default predictor) ---
+    _log("stage 2: dio")
     dio = get_f0_predictor("dio", hop_length=hop, sampling_rate=sr)
     dio.compute_f0_uv(wav)  # warm caches
     t0 = time.perf_counter()
@@ -127,12 +138,17 @@ def main():
     spk = jnp.zeros((1,), jnp.int32)
 
     def synth_time(fused):
+        _log(f"stage 3: synthesizer build+init (fused={fused})")
         syn = factory.build_synthesizer(hps, dtype=jnp.bfloat16, fused_tail=fused)
         params = factory.init_synthesizer_params(
             syn, jax.random.PRNGKey(0), hps, t_frames=32, batch=1
         )
 
-        def fn(c, f0, uv):
+        # params is an explicit scan arg: closing over it bakes ~270 MB of
+        # weights into the HLO as constants, which the dev tunnel then
+        # uploads on EVERY compile/cache-load (the r3/r4 driver runs spent
+        # minutes there)
+        def fn(params, c, f0, uv):
             wav_out, _ = syn.apply(
                 {"params": params}, c, f0, uv, spk, sample_noise=True,
                 # rbg keys: threefry normal sampling costs ~2 ms/clip on v5e
@@ -141,7 +157,9 @@ def main():
             )
             return wav_out
 
-        return _scan_time(fn, c, f0, uv)
+        t = _scan_time(fn, params, c, f0, uv)
+        _log(f"stage 3: done ({t * 1e3:.2f} ms)")
+        return t
 
     try:
         syn_time = synth_time(fused=True)
@@ -190,7 +208,9 @@ def main():
             details[key] = {
                 "skipped": f"deadline: {left:.0f}s left < {min_budget_s}s budget"
             }
+            _log(f"stage {key}: skipped ({left:.0f}s left)")
         else:
+            _log(f"stage {key}: start")
             t0 = time.monotonic()
             try:
                 details[key] = fn()
@@ -199,6 +219,7 @@ def main():
             details.setdefault("stage_seconds", {})[key] = round(
                 time.monotonic() - t0, 1
             )
+            _log(f"stage {key}: done in {time.monotonic() - t0:.1f}s")
         flush()
 
     flush()
@@ -230,7 +251,11 @@ def bench_learning(steps: int = 300) -> dict:
     from sovits_tpu.dsp import stft as dsp_stft
     from sovits_tpu.models import Synthesizer, factory
 
-    hps = tiny_hps(**{"train.learning_rate": 2e-4})
+    # lr + eval scope calibrated in tests/test_learning.py: 8e-4 overfits
+    # the fixed batch in ~150 steps; the prior-path eval is noisy under GAN
+    # dynamics, so it is averaged over ALL items, and the full-size (not
+    # disc_tiny) discriminator runs here — TPU affords it
+    hps = tiny_hps(**{"train.learning_rate": 8e-4})
     rng = np.random.default_rng(11)
     sr, hop = hps.data.sampling_rate, hps.data.hop_length
     b, frames = 8, 64
@@ -277,8 +302,8 @@ def bench_learning(steps: int = 300) -> dict:
 
     def eval_mel_l1(params):
         wav_hat, _ = syn.apply(
-            {"params": params}, batch["c"][:2], batch["f0"][:2],
-            batch["uv"][:2], batch["spk"][:2], vol=batch["volume"][:2],
+            {"params": params}, batch["c"], batch["f0"],
+            batch["uv"], batch["spk"], vol=batch["volume"],
             sample_noise=False, method=Synthesizer.infer,
         )
         mel_kw = dict(
@@ -286,7 +311,7 @@ def bench_learning(steps: int = 300) -> dict:
             sample_rate=sr, hop_length=hop, win_length=hps.data.win_length,
             fmin=hps.data.mel_fmin, fmax=hps.data.mel_fmax,
         )
-        gt = dsp_stft.mel_spectrogram(batch["wav"][:2, :, 0], **mel_kw)
+        gt = dsp_stft.mel_spectrogram(batch["wav"][:, :, 0], **mel_kw)
         got = dsp_stft.mel_spectrogram(wav_hat[..., 0], **mel_kw)
         tm = min(gt.shape[-1], got.shape[-1])
         return wav_hat, jnp.mean(jnp.abs(gt[..., :tm] - got[..., :tm]))
@@ -366,9 +391,11 @@ def bench_pallas_parity(hps, t_frames: int = 128) -> dict:
     spk = jnp.zeros((1,), jnp.int32)
 
     def run(syn):
-        wav, _ = jax.jit(lambda c, f0, uv: syn.apply(
-            {"params": params}, c, f0, uv, spk, sample_noise=False,
-            noise_scale=0.0, method=Synthesizer.infer))(c, f0, uv)
+        # params as a jit ARG (not a baked closure constant): keeps the HLO
+        # small enough for the dev tunnel's compile endpoint
+        wav, _ = jax.jit(lambda p, c, f0, uv: syn.apply(
+            {"params": p}, c, f0, uv, spk, sample_noise=False,
+            noise_scale=0.0, method=Synthesizer.infer))(params, c, f0, uv)
         return np.asarray(wav, np.float32)
 
     out["fused_tail_rel_err"] = rel_err(run(syn_ref), run(syn_fused))
@@ -489,13 +516,17 @@ def bench_mel_l1(hps, t_frames: int = 861) -> float:
         ),
     )
     # parity measurement, not perf: force fp32 MXU passes (TPU's default
-    # matmul precision is bf16x3/bf16, which inflates mel-L1 ~1e-5 -> ~4e-2)
+    # matmul precision is bf16x3/bf16, which inflates mel-L1 ~1e-5 -> ~4e-2).
+    # Jitted with params as an ARG: eager apply dispatches every op through
+    # the tunnel's ~28 ms floor, a params closure bakes 270 MB into the HLO.
     with jax.default_matmul_precision("highest"):
-        got_wav, _ = syn.apply(
-            {"params": params}, jnp.asarray(c), jnp.asarray(f0), jnp.asarray(uv),
-            jnp.zeros((1,), jnp.int32), sample_noise=False, noise_scale=0.0,
-            method=Synthesizer.infer,
-        )
+        got_wav, _ = jax.jit(
+            lambda p, c, f0, uv, s: syn.apply(
+                {"params": p}, c, f0, uv, s, sample_noise=False,
+                noise_scale=0.0, method=Synthesizer.infer,
+            )
+        )(params, jnp.asarray(c), jnp.asarray(f0), jnp.asarray(uv),
+          jnp.zeros((1,), jnp.int32))
     got_wav = np.asarray(got_wav)[0, :, 0]
 
     n = min(len(ref_wav), len(got_wav))
@@ -530,8 +561,11 @@ def bench_train_step(hps, iters: int = 60) -> float:
         fused_tail=jax.default_backend() == "tpu",  # custom-VJP train tail
     )
     disc = factory.build_discriminator(hps, dtype=jnp.bfloat16)
+    # init on host CPU (identical param tree) via a NON-fused twin: the
+    # Pallas trio cannot trace non-interpret on the CPU backend
+    syn_init = factory.build_synthesizer(hps, dtype=jnp.bfloat16)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        g_params = factory.init_synthesizer_params(syn, jax.random.PRNGKey(0), hps, t_frames=16)
+        g_params = factory.init_synthesizer_params(syn_init, jax.random.PRNGKey(0), hps, t_frames=16)
         d_params = factory.init_discriminator_params(
             disc, jax.random.PRNGKey(1), seg_samples=hps.train.segment_size
         )
@@ -561,8 +595,9 @@ def bench_train_step(hps, iters: int = 60) -> float:
         mesh,
     )
 
-    # device-side loop: N steps per host round trip (tunnel-latency immune)
-    def loop(state):
+    # device-side loop: N steps per host round trip (tunnel-latency immune);
+    # batch is an ARG so its ~30 MB isn't baked into the tunnel-uploaded HLO
+    def loop(state, batch):
         def body(st, i):
             st, metrics = raw_step(
                 st, batch,
@@ -574,10 +609,10 @@ def bench_train_step(hps, iters: int = 60) -> float:
         return st, losses.sum()
 
     loop_jit = jax.jit(loop, donate_argnums=(0,))
-    state, warm = loop_jit(state)  # compile + warm
+    state, warm = loop_jit(state, batch)  # compile + warm
     np.asarray(warm)
     t0 = time.perf_counter()
-    state, out = loop_jit(state)
+    state, out = loop_jit(state, batch)
     np.asarray(out)
     return iters / (time.perf_counter() - t0)
 
