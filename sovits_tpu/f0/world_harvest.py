@@ -335,16 +335,23 @@ def harvest(
     n_basic = int(len(x) / fs * 1000.0 / BASIC_FRAME_PERIOD_MS) + 1
     basic_positions = np.arange(n_basic) * BASIC_FRAME_PERIOD_MS / 1000.0
 
-    fft_size = _suitable_fft_size(
-        y_length + 1 + 2 * (_band_half_width(actual_fs, boundaries[0]) * 2 + 1)
-    )
-
     native_mod = None
     if use_native:
         from .. import native as native_mod_  # lazy: optional toolchain
 
         if native_mod_.world_available():
             native_mod = native_mod_
+
+    min_fft = y_length + 1 + 2 * (_band_half_width(actual_fs, boundaries[0]) * 2 + 1)
+    if native_mod is not None:
+        # pocketfft handles 5-smooth sizes as fast as pow2; WORLD's pow2
+        # round-up (81k -> 131k for a 10 s clip) costs ~1.6x extra filter
+        # work. Any size >= the linear-convolution length is mathematically
+        # identical; the numpy oracle keeps WORLD's pow2 so its derivation
+        # stays bit-comparable with the published algorithm.
+        fft_size = sfft.next_fast_len(min_fft, real=True)
+    else:
+        fft_size = _suitable_fft_size(min_fft)
 
     # the fast path filters in float32 (~1e-6-relative rounding, same
     # trade as DIO's fast mode — estimation error dominates); the numpy
@@ -398,7 +405,15 @@ def harvest(
         y, actual_fs, basic_positions, cands, f0_floor, f0_ceil,
         use_native=use_native,
     )
-    _remove_unreliable(cands, scores)
+    if native_mod is not None:
+        # C++ stage 7: the numpy sentinel-sort formulation is the single
+        # hottest harvest stage (~1.1 s of the 10 s-clip budget); the
+        # native port is ~30x faster and agreement-tested in test_native.py
+        native_mod.world_harvest_remove_unreliable(
+            cands, scores, UNRELIABLE_THRESHOLD
+        )
+    else:
+        _remove_unreliable(cands, scores)
     f0_1ms = _fix_contour(cands, scores)
     f0_1ms = _smooth_contour(f0_1ms)
 

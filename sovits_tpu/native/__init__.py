@@ -67,6 +67,10 @@ def _load_world():
             ctypes.c_int64, dbl_p,
         ]
         lib.world_harvest_band_candidates.restype = None
+        lib.world_harvest_remove_unreliable.argtypes = [
+            dbl_p, dbl_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+        ]
+        lib.world_harvest_remove_unreliable.restype = None
         lib.world_fix_steps.argtypes = [
             dbl_p, dbl_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, dbl_p,
@@ -167,6 +171,25 @@ def world_harvest_band_candidates(
         cand.ctypes.data_as(dbl_p),
     )
     return cand
+
+
+def world_harvest_remove_unreliable(
+    cands: np.ndarray, scores: np.ndarray, threshold: float
+) -> None:
+    """Harvest stage 7 IN PLACE (numpy oracle: world_harvest.py
+    _remove_unreliable): drop candidates without a close neighbour-frame
+    candidate. cands/scores: [n_frames, k] float64, C-contiguous."""
+    lib = _load_world()
+    if lib is None:
+        raise RuntimeError("native world_f0 library unavailable")
+    assert cands.dtype == np.float64 and cands.flags.c_contiguous
+    assert scores.dtype == np.float64 and scores.flags.c_contiguous
+    n_frames, k = cands.shape
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    lib.world_harvest_remove_unreliable(
+        cands.ctypes.data_as(dbl_p), scores.ctypes.data_as(dbl_p),
+        n_frames, k, float(threshold),
+    )
 
 
 def world_fix_steps(best: np.ndarray, candidates: np.ndarray,

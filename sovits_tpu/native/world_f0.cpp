@@ -9,6 +9,7 @@
 //
 // Build: make -C sovits_tpu/native  (produces libworld_f0.so)
 
+#include <algorithm>
 #include <cmath>
 #include <complex>
 #include <cstdint>
@@ -401,6 +402,51 @@ void world_harvest_band_candidates(const double* filtered, int64_t y_length,
                      mean > f0_ceil || mean < f0_floor ||
                      dev > mean * track_agreement;
     candidate[i] = bad ? 0.0 : mean;
+  }
+}
+
+// Harvest stage 7 (world_harvest.py _remove_unreliable), in place over
+// cands/scores [n_frames, k]: a live candidate survives only if each
+// EXISTING neighbour frame holds some candidate within `threshold` of it.
+// Agreement is checked against a snapshot (removals must not cascade along
+// time); empty slots carry a large sentinel so an empty neighbour frame
+// yields a huge deviation and kills the whole frame, exactly as the numpy
+// oracle's sentinel-sort does.
+void world_harvest_remove_unreliable(double* cands, double* scores,
+                                     int64_t n_frames, int64_t k,
+                                     double threshold) {
+  const double kEmptySentinel = 100000.0;  // > any f0 (< f0_ceil ~1.1e3)
+  std::vector<double> frozen(cands, cands + size_t(n_frames) * k);
+  std::vector<double> sorted(size_t(n_frames) * k);
+  for (int64_t t = 0; t < n_frames; ++t) {
+    double* row = &sorted[size_t(t) * k];
+    for (int64_t j = 0; j < k; ++j) {
+      const double v = frozen[size_t(t) * k + j];
+      row[j] = v > 0.0 ? v : kEmptySentinel;
+    }
+    std::sort(row, row + k);
+  }
+  for (int64_t t = 0; t < n_frames; ++t) {
+    for (int64_t j = 0; j < k; ++j) {
+      const double cur = frozen[size_t(t) * k + j];
+      if (cur <= 0.0) continue;
+      bool ok = true;
+      for (int dt = -1; dt <= 1 && ok; dt += 2) {
+        const int64_t nt = t + dt;
+        if (nt < 0 || nt >= n_frames) continue;  // no constraint
+        const double* row = &sorted[size_t(nt) * k];
+        const double* hi = std::lower_bound(row, row + k, cur);
+        const double hi_v = hi <= row + k - 1 ? *hi : row[k - 1];
+        const double lo_v = hi - 1 >= row ? *(hi - 1) : row[0];
+        const double near = std::min(std::fabs(hi_v - cur),
+                                     std::fabs(cur - lo_v));
+        ok = near / (cur + kEps) <= threshold;
+      }
+      if (!ok) {
+        cands[size_t(t) * k + j] = 0.0;
+        scores[size_t(t) * k + j] = 0.0;
+      }
+    }
   }
 }
 

@@ -79,3 +79,37 @@ def test_native_world_dio_accuracy():
     assert np.abs(v[mask] - truth[mask]).mean() < 2.0  # Hz
     tail = tp > (cut / sr + 0.05)
     assert (f0[tail] > 0).mean() < 0.2  # noise stays mostly unvoiced
+
+
+@pytest.mark.skipif(not native.world_available(), reason="native toolchain unavailable")
+def test_native_harvest_remove_unreliable_matches_numpy():
+    """C++ harvest stage 7 == the numpy sentinel-sort oracle, bit-exact.
+
+    Random candidate matrices with clustered values so the 5% agreement
+    gate exercises both keep and kill paths, plus empty frames (which must
+    kill ALL neighbours' candidates, as WORLD does)."""
+    from sovits_tpu.f0.world_harvest import UNRELIABLE_THRESHOLD, _remove_unreliable
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n_frames = int(rng.integers(2, 200))
+        k = int(rng.integers(1, 40))
+        cands = np.where(
+            rng.random((n_frames, k)) < 0.35,
+            rng.uniform(60, 1100, (n_frames, k)), 0.0,
+        )
+        base = rng.uniform(80, 400)
+        cluster = rng.random((n_frames, k)) < 0.3
+        cands = np.where(
+            cluster, base * rng.uniform(0.97, 1.03, (n_frames, k)), cands
+        )
+        cands[rng.integers(0, n_frames)] = 0.0  # an empty frame
+        scores = np.where(cands > 0, rng.uniform(1, 10, (n_frames, k)), 0.0)
+
+        c_py, s_py = cands.copy(), scores.copy()
+        _remove_unreliable(c_py, s_py)
+        c_cc = np.ascontiguousarray(cands.copy())
+        s_cc = np.ascontiguousarray(scores.copy())
+        native.world_harvest_remove_unreliable(c_cc, s_cc, UNRELIABLE_THRESHOLD)
+        np.testing.assert_array_equal(c_cc, c_py)
+        np.testing.assert_array_equal(s_cc, s_py)
