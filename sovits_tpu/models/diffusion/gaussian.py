@@ -441,6 +441,207 @@ class DiffusionSchedule:
         x = base(x, m0, steps, h_phi_1)
         return x
 
+    def sample_unipc_vary(self, denoise_fn, x, t_start: int, steps: int,
+                          cond) -> jax.Array:
+        """Multistep UniPC variant='vary_coeff' (order 2, data prediction).
+
+        Matches UniPC(variant='vary_coeff').sample(..., order=2,
+        skip_type='time_uniform', method='multistep')
+        (diffusion/uni_pc.py:369-467 multistep_uni_pc_vary_update): the
+        varying-coefficient predictor/corrector solves the K x K Vandermonde
+        system C rho = e_k per step instead of the fixed B(h) weights. For
+        order 2 the inverses collapse to closed form: A_p = [[1]] and the
+        corrector row A_c[0] = [1, -rk] / (1 - rk). The warm-up step is the
+        K=1 system (corrector weight phi_2), and the last step drops to
+        order 1 without corrector, exactly as the vendored sampler.
+        """
+        tbl = self.solver_times(t_start, steps)
+        alpha = jnp.asarray(tbl["alpha"])
+        sigma = jnp.asarray(tbl["sigma"])
+        lam = jnp.asarray(tbl["lambda"])
+        t_input = jnp.asarray(tbl["t_input"])
+        b_sz = x.shape[0]
+
+        def x0_fn(x, idx):
+            eps = denoise_fn(x, jnp.full((b_sz,), t_input[idx], jnp.float32), cond)
+            return (x - sigma[idx] * eps) / alpha[idx]
+
+        def phis(i):
+            """h_phi_1..3 with hh = -h (predict_x0), uni_pc.py:426-434."""
+            hh = -(lam[i] - lam[i - 1])
+            phi1 = jnp.expm1(hh)
+            phi2 = phi1 / hh - 1.0
+            phi3 = phi2 / hh - 0.5
+            return phi1, phi2, phi3
+
+        def base(x, m_prev, i, phi1):
+            return sigma[i] / sigma[i - 1] * x - alpha[i] * phi1 * m_prev
+
+        # step 0: model at t_T; step 1: K=1 vary update WITH corrector
+        m0 = x0_fn(x, 0)
+        phi1, phi2, _ = phis(1)
+        x_t_ = base(x, m0, 1, phi1)
+        m_t = x0_fn(x_t_, 1)  # predictor == x_t_ (no D1s at K=1)
+        x = x_t_ - alpha[1] * phi2 * (m_t - m0)
+        m1, m0 = m0, m_t
+
+        def order2_update(x, m0, m1, i):
+            h = lam[i] - lam[i - 1]
+            rk = (lam[i - 2] - lam[i - 1]) / h
+            d1 = (m1 - m0) / rk
+            phi1, phi2, phi3 = phis(i)
+            x_t_ = base(x, m0, i, phi1)
+            x_pred = x_t_ - alpha[i] * phi2 * d1  # A_p = [[1]]
+            m_t = x0_fn(x_pred, i)
+            # corrector row A_c[0] of inv([[1, rk/2], [1, 1/2]])
+            a_d1 = 1.0 / (1.0 - rk)
+            a_dt = -rk / (1.0 - rk)
+            x_t = x_t_ - alpha[i] * phi2 * (a_d1 * d1) \
+                - alpha[i] * phi3 * ((m_t - m0) * a_dt)
+            return x_t, m_t
+
+        if steps >= 3:
+            def body(carry, i):
+                x, m0, m1 = carry
+                x, m_t = order2_update(x, m0, m1, i)
+                return (x, m_t, m0), None
+
+            (x, m0, m1), _ = jax.lax.scan(
+                body, (x, m0, m1), jnp.arange(2, steps, dtype=jnp.int32)
+            )
+        phi1, _, _ = phis(steps)
+        return base(x, m0, steps, phi1)
+
+    def sample_dpmpp_adaptive(
+        self, denoise_fn, x, t_start: int, cond, order: int = 2,
+        h_init: float = 0.05, atol: float = 0.0078, rtol: float = 0.05,
+        theta: float = 0.9, t_err: float = 1e-5, max_iters: int = 200,
+    ) -> jax.Array:
+        """Adaptive step-size singlestep DPM-Solver++ (orders 2/3).
+
+        Matches DPM_Solver(algorithm_type='dpmsolver++').sample(...,
+        method='adaptive', order=order, solver_type='dpmsolver')
+        (diffusion/dpm_solver_pytorch.py:953-1013): embedded lower/higher
+        singlestep pair, per-element tolerance delta = max(atol,
+        rtol*max(|x_lo|,|x_prev|)), RMS-over-batch error control with
+        acceptance E <= 1, and step law h <- min(theta*h*E^(-1/order),
+        lambda_0 - lambda_s). The data-dependent trip count runs as a
+        lax.while_loop — the TPU-idiomatic form of the reference's Python
+        while — with a `max_iters` safety bound (the reference relies on
+        h being clamped to land exactly on lambda_0).
+        """
+        assert order in (2, 3)
+        n = t_start
+        b_sz = x.shape[0]
+        # continuous-time discrete-schedule tables (NoiseScheduleVP, jnp
+        # mirrors of solver_times' numpy helpers; lambda DECREASES with t)
+        t_grid = jnp.asarray(np.linspace(0.0, 1.0, n + 1)[1:], jnp.float32)
+        la_np = 0.5 * np.cumsum(np.log(1.0 - self.betas[:n]))
+        la_grid = jnp.asarray(la_np, jnp.float32)
+        lam_np = la_np - 0.5 * np.log(-np.expm1(2.0 * la_np))
+        lam_grid = jnp.asarray(lam_np, jnp.float32)
+
+        def log_alpha(t):
+            return jnp.interp(t, t_grid, la_grid)
+
+        def marginal(t):
+            la = log_alpha(t)
+            alpha = jnp.exp(la)
+            sigma = jnp.sqrt(-jnp.expm1(2.0 * la))
+            return alpha, sigma
+
+        def lam(t):
+            la = log_alpha(t)
+            return la - 0.5 * jnp.log(-jnp.expm1(2.0 * la))
+
+        def inv_lambda(l):
+            # lam_grid decreases with t: flip for jnp.interp
+            return jnp.interp(l, lam_grid[::-1], t_grid[::-1])
+
+        def x0_fn(x, t):
+            t_in = jnp.full((b_sz,), (t - 1.0 / n) * n, jnp.float32)
+            eps = denoise_fn(x, t_in, cond)
+            _, sigma = marginal(t)
+            return (x - sigma * eps) / jnp.exp(log_alpha(t))
+
+        def update_1(x, s, t, m_s):
+            h = lam(t) - lam(s)
+            a_t, sg_t = marginal(t)
+            _, sg_s = marginal(s)
+            return sg_t / sg_s * x - a_t * jnp.expm1(-h) * m_s
+
+        def update_2(x, s, t, m_s, r1):
+            h = lam(t) - lam(s)
+            s1 = inv_lambda(lam(s) + r1 * h)
+            a_s1, sg_s1 = marginal(s1)
+            a_t, sg_t = marginal(t)
+            _, sg_s = marginal(s)
+            x_s1 = sg_s1 / sg_s * x - a_s1 * jnp.expm1(-r1 * h) * m_s
+            m_s1 = x0_fn(x_s1, s1)
+            phi_1 = jnp.expm1(-h)
+            x_t = (sg_t / sg_s * x - a_t * phi_1 * m_s
+                   - (0.5 / r1) * a_t * phi_1 * (m_s1 - m_s))
+            return x_t, m_s1
+
+        def update_3(x, s, t, m_s, m_s1, r1, r2):
+            h = lam(t) - lam(s)
+            s2 = inv_lambda(lam(s) + r2 * h)
+            a_s2, sg_s2 = marginal(s2)
+            a_t, sg_t = marginal(t)
+            _, sg_s = marginal(s)
+            phi_12 = jnp.expm1(-r2 * h)
+            phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
+            x_s2 = (sg_s2 / sg_s * x - a_s2 * phi_12 * m_s
+                    + (r2 / r1) * a_s2 * phi_22 * (m_s1 - m_s))
+            m_s2 = x0_fn(x_s2, s2)
+            phi_1 = jnp.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            return (sg_t / sg_s * x - a_t * phi_1 * m_s
+                    + (1.0 / r2) * a_t * phi_2 * (m_s2 - m_s))
+
+        t_0 = 1.0 / n
+        lambda_0 = lam(jnp.float32(t_0))
+
+        def pair(x, s, t):
+            """(x_lower, x_higher) with the reference's model-eval reuse."""
+            m_s = x0_fn(x, s)
+            if order == 2:
+                x_lo = update_1(x, s, t, m_s)
+                x_hi, _ = update_2(x, s, t, m_s, r1=0.5)
+            else:
+                x_lo, m_s1 = update_2(x, s, t, m_s, r1=1.0 / 3.0)
+                x_hi = update_3(x, s, t, m_s, m_s1, r1=1.0 / 3.0, r2=2.0 / 3.0)
+            return x_lo, x_hi
+
+        def cond_fn(carry):
+            _x, _xp, s, _h, _ls, it = carry
+            return jnp.logical_and(jnp.abs(s - t_0) > t_err, it < max_iters)
+
+        def body_fn(carry):
+            x, x_prev, s, h, lambda_s, it = carry
+            t = inv_lambda(lambda_s + h)
+            x_lo, x_hi = pair(x, s, t)
+            delta = jnp.maximum(
+                atol, rtol * jnp.maximum(jnp.abs(x_lo), jnp.abs(x_prev))
+            )
+            err = (x_hi - x_lo) / delta
+            e = jnp.max(jnp.sqrt(jnp.mean(
+                jnp.square(err.reshape(b_sz, -1)), axis=-1)))
+            accept = e <= 1.0
+            x = jnp.where(accept, x_hi, x)
+            x_prev = jnp.where(accept, x_lo, x_prev)
+            s = jnp.where(accept, t, s)
+            lambda_s = jnp.where(accept, lam(t), lambda_s)
+            h = jnp.minimum(
+                theta * h * e ** (-1.0 / order), lambda_0 - lambda_s
+            )
+            return (x, x_prev, s, h, lambda_s, it + 1)
+
+        s0 = jnp.float32(1.0)
+        carry = (x, x, s0, jnp.float32(h_init), lam(s0), jnp.int32(0))
+        x, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
+        return x
+
     # -- top-level dispatch --------------------------------------------------
     def sample(
         self,
@@ -478,13 +679,19 @@ class DiffusionSchedule:
                 denoise_fn, x, t_start, t_start // speedup, cond,
                 variant="bh1" if method.endswith("bh1") else "bh2",
             )
+        elif method == "unipc-vary":
+            x = self.sample_unipc_vary(
+                denoise_fn, x, t_start, t_start // speedup, cond
+            )
+        elif method in ("dpm-solver++-adaptive", "dpm-solver++-adaptive-3"):
+            x = self.sample_dpmpp_adaptive(
+                denoise_fn, x, t_start, cond,
+                order=3 if method.endswith("-3") else 2,
+            )
         elif method == "pndm":
             x = self.sample_plms(denoise_fn, x, t_start, speedup, cond)
         elif method == "ddim":
             x = self.sample_ddim(denoise_fn, x, t_start, speedup, cond)
         else:
-            # unipc vary_coeff and dpm-solver adaptive are deliberately not
-            # ported: the reference never invokes them (diffusion.py only
-            # reaches multistep order-2 / bh-variant paths)
             raise NotImplementedError(method)
         return self.denorm_spec(x)

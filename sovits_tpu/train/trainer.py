@@ -123,10 +123,13 @@ def train(hps, model_dir: str | Path, max_steps: int | None = None, mesh=None):
     batch_size = hps.train.batch_size
     assert batch_size % n_data == 0, (batch_size, n_data)
 
-    # the Pallas fused vocoder tail serves training too (custom VJP with a
-    # recomputed XLA-chain backward, ops/fused_stage.py trio_folded);
-    # interpret-mode Pallas is far too slow off-TPU, so gate on backend
-    syn = factory.build_synthesizer(hps, fused_tail=jax.default_backend() == "tpu")
+    # Training decodes via the folded-XLA tail: the Pallas trio's
+    # recompute-based custom VJP (ops/fused_stage.py trio_folded) MEASURED
+    # SLOWER end-to-end (26.6 vs 28.4 steps/s on v5e, bench_details r4) —
+    # the rematerialized backward pays a full extra tail forward, which on
+    # the short training segments outweighs the kernel's forward win.
+    # Inference (long clips, no backward) keeps fused_tail=True.
+    syn = factory.build_synthesizer(hps)
     disc = factory.build_discriminator(hps)
     rng = jax.random.PRNGKey(hps.train.seed)
     # in-step randomness (slice/noise/dropout) uses the hardware rbg PRNG:

@@ -422,3 +422,88 @@ def test_unipc_bh1_matches_reference():
                                jnp.asarray(cond), variant="bh1")
     )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=5e-4)
+
+
+def test_unipc_vary_coeff_matches_reference():
+    """vary_coeff variant parity (uni_pc.py:369-467 varying-coefficient
+    predictor/corrector; previously a gated NotImplementedError)."""
+    from diffusion.uni_pc import NoiseScheduleVP, UniPC, model_wrapper
+
+    ref_net, mine, params = _ref_pair()
+    gd = _ref_gaussian(ref_net)
+    sched = DiffusionSchedule(timesteps=TSTEPS, k_step=TSTEPS)
+    spec, cond, _ = _inputs()
+    k_step, steps = 40, 20
+    x_t, x_j = _x_init(gd, sched, spec, k_step)
+
+    ns = NoiseScheduleVP(schedule="discrete", betas=gd.betas[:k_step])
+    cond_t = torch.from_numpy(cond.transpose(0, 2, 1))
+    model_fn = model_wrapper(
+        gd.denoise_fn, ns, model_type="noise", model_kwargs={"cond": cond_t}
+    )
+    solver = UniPC(model_fn, ns, variant="vary_coeff")
+    with torch.no_grad():
+        x = solver.sample(x_t, steps=steps, order=2,
+                          skip_type="time_uniform", method="multistep")
+    ref = gd.denorm_spec(x.squeeze(1).transpose(1, 2)).numpy()
+
+    def denoise_fn(xx, tt, cc):
+        return mine.apply(params, xx, tt, cc)
+
+    got = sched.denorm_spec(
+        sched.sample_unipc_vary(denoise_fn, x_j, k_step, steps,
+                                jnp.asarray(cond))
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_dpmpp_adaptive_matches_reference(order):
+    """Adaptive step-size DPM-Solver++ (dpm_solver_pytorch.py:953-1013;
+    previously a gated NotImplementedError).
+
+    Unlike the fixed-grid samplers, EXACT trajectory parity with the
+    vendored solver is unattainable: torch's discrete schedule arrays are
+    float64 and type-promote the whole update chain, so its error
+    estimate E sits at the float64 rounding floor on a smooth toy
+    problem, and the h <- theta*h*E^(-1/order) step law amplifies that
+    precision difference into a different (coarser) accepted-step
+    sequence. The controller's actual CONTRACT is local error <= delta =
+    max(atol, rtol*|x|) per accepted step; this asserts both
+    implementations land on the same ODE solution within that band:
+    each within 0.05 (on the [-1,1]-normalized spec; a few accepted
+    steps x rtol=0.05) of a dense 40-step fixed-grid solve AND of each
+    other. Measured gaps: jax 0.003 (order 2) / 0.027 (order 3), torch
+    2e-5 — comfortably inside."""
+    from diffusion.dpm_solver_pytorch import DPM_Solver, NoiseScheduleVP, model_wrapper
+
+    ref_net, mine, params = _ref_pair()
+    gd = _ref_gaussian(ref_net)
+    sched = DiffusionSchedule(timesteps=TSTEPS, k_step=TSTEPS)
+    spec, cond, _ = _inputs()
+    k_step = 40
+    x_t, x_j = _x_init(gd, sched, spec, k_step)
+
+    ns = NoiseScheduleVP(schedule="discrete", betas=gd.betas[:k_step])
+    cond_t = torch.from_numpy(cond.transpose(0, 2, 1))
+    model_fn = model_wrapper(
+        gd.denoise_fn, ns, model_type="noise", model_kwargs={"cond": cond_t}
+    )
+    solver = DPM_Solver(model_fn, ns, algorithm_type="dpmsolver++")
+    with torch.no_grad():
+        x = solver.sample(x_t, order=order, method="adaptive",
+                          solver_type="dpmsolver")
+    ref = x.squeeze(1).numpy().transpose(0, 2, 1)
+
+    def denoise_fn(xx, tt, cc):
+        return mine.apply(params, xx, tt, cc)
+
+    dense = np.asarray(sched.sample_dpmpp_singlestep(
+        denoise_fn, x_j, k_step, 40, jnp.asarray(cond), order=2
+    ))
+    got = np.asarray(sched.sample_dpmpp_adaptive(
+        denoise_fn, x_j, k_step, jnp.asarray(cond), order=order
+    ))
+    assert np.abs(got - dense).max() < 0.05, np.abs(got - dense).max()
+    assert np.abs(ref - dense).max() < 0.05, np.abs(ref - dense).max()
+    assert np.abs(got - ref).max() < 0.05, np.abs(got - ref).max()
