@@ -82,8 +82,30 @@ def spectrogram(
         lpad = (n_fft - win_length) // 2
         frames = jnp.pad(frames, ((0, 0), (0, 0), (lpad, n_fft - win_length - lpad)))
 
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-6)
+    if jax.default_backend() == "tpu":
+        # TPU has no FFT unit and XLA's generic FFT lowering is the single
+        # hottest op of the mel loss (~3 ms/step at batch 6); an explicit
+        # rDFT as two fp32 matmuls runs on the MXU instead (<0.3 ms). The
+        # phase index is reduced mod n_fft in INTEGER arithmetic first —
+        # cos(2*pi*k*f/n) with k*f ~ 2e6 in float32 would lose ~4e-4 rad
+        # to argument-reduction error.
+        # optimization_barrier: without it XLA constant-folds the 2M-entry
+        # cos/sin tables AT COMPILE TIME (minutes of folding per program);
+        # behind the barrier they are an on-device VPU fill (~10 us)
+        k, f = jax.lax.optimization_barrier((
+            jnp.arange(n_fft, dtype=jnp.int32),
+            jnp.arange(n_fft // 2 + 1, dtype=jnp.int32),
+        ))
+        ang = (2.0 * np.pi / n_fft) * (
+            (k[:, None] * f[None, :]) % n_fft
+        ).astype(jnp.float32)
+        pr = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(frames, jnp.cos(ang), precision=pr)
+        im = -jnp.matmul(frames, jnp.sin(ang), precision=pr)
+        mag = jnp.sqrt(re**2 + im**2 + 1e-6)
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+        mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-6)
     del orig_dtype  # spectral output stays float32 by design
     return mag
 
