@@ -32,9 +32,9 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 SECONDS = 10.0
-# The axon dev tunnel adds a ~28 ms floor to EVERY host->device dispatch;
-# _dispatch_time measures it explicitly and subtracts it (see its
-# docstring for why the r2/r3 device-side-scan harness was retired).
+# The axon dev tunnel's sync fetch costs a jittery ~28 ms round trip, and
+# block_until_ready does not synchronize at all; _dispatch_time cancels
+# both with a two-length async-batch difference (see its docstring).
 ITERS = 200
 
 # Wall-clock budget for the whole bench (the driver kills overruns; r3's
@@ -57,48 +57,45 @@ def _log(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
-_FLOOR = None
-
-
-def _dispatch_floor(iters: int = 60) -> float:
-    """Median blocked round-trip of a trivial jitted program through the
-    tunnel (~28 ms on the axon dev tunnel; ~10 us locally), measured once."""
-    global _FLOOR
-    if _FLOOR is None:
-        f = jax.jit(lambda x: x + 1.0)
-        x = jnp.zeros((8,), jnp.float32)
-        jax.block_until_ready(f(x))
-        ts = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
-            ts.append(time.perf_counter() - t0)
-        _FLOOR = float(np.median(ts))
-        _log(f"dispatch floor: {_FLOOR * 1e3:.2f} ms")
-    return _FLOOR
-
-
 def _dispatch_time(fn, *args, iters=ITERS):
-    """Device time per call: median of `iters` BLOCKED dispatches minus the
-    measured trivial-dispatch floor.
+    """Device time per call via async-pipelined batches of two lengths.
 
     Rounds 2-3 timed via a 200-iteration device-side lax.scan with a
-    null-loop subtraction — accurate, but the scan-wrapped full-size
-    synthesizer is one of the slowest programs XLA compiles in this repo
-    (~9 min cold, and the compile cache does not amortize it through the
-    dev tunnel), which starved the driver-budgeted detail stages (r3
-    VERDICT next #3). The blocked-median needs only the plain forward
-    compile; with a ~28 ms floor and medians over 200 calls the residual
-    jitter is ~0.1 ms, well inside every stage's margin."""
+    null-loop subtraction — accurate, but the scan wrapper around the
+    full-size synthesizer compiles for minutes cold, which starved the
+    driver-budgeted detail stages (r3 VERDICT next #3). Blocked per-call
+    timing is NOT an option either: over the axon dev tunnel
+    block_until_ready returns WITHOUT synchronizing (a 19 ms matmul chain
+    "blocks" in 0.04 ms); only a data fetch synchronizes, and the fetch
+    round trip is a jittery ~28 ms. So: submit k calls asynchronously
+    (they queue server-side), force completion with a 1-scalar on-device
+    reduction + fetch, and difference batches of k and 2k so the round
+    trip and fetch cancel exactly. Validated against a known-duration
+    matmul chain (~19 ms: measured 18.4-22.6 across trials; medians over
+    5 pairs tighten it further)."""
     jitted = jax.jit(fn)
-    jax.block_until_ready(jitted(*args))  # compile + warm
-    floor = _dispatch_floor()
-    ts = []
-    for _ in range(iters):
+    summ = jax.jit(
+        lambda t: jnp.sum(jax.tree.leaves(t)[0].astype(jnp.float32))
+    )
+
+    def run(k):
+        out = None
+        for _ in range(k):
+            out = jitted(*args)
+        return np.asarray(summ(out))
+
+    run(1)  # compile + warm both programs
+    k = max(iters // 4, 1)
+    singles, doubles = [], []
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(jitted(*args))
-        ts.append(time.perf_counter() - t0)
-    return max(float(np.median(ts)) - floor, 1e-9)
+        run(k)
+        singles.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(2 * k)
+        doubles.append(time.perf_counter() - t0)
+    per_call = (float(np.median(doubles)) - float(np.median(singles))) / k
+    return max(per_call, 1e-9)
 
 
 def main():
@@ -149,9 +146,17 @@ def main():
     def synth_time(fused):
         _log(f"stage 3: synthesizer build+init (fused={fused})")
         syn = factory.build_synthesizer(hps, dtype=jnp.bfloat16, fused_tail=fused)
-        params = factory.init_synthesizer_params(
-            syn, jax.random.PRNGKey(0), hps, t_frames=32, batch=1
+        # init through a non-fused twin (identical param tree): initializing
+        # the fused model compiles the four Mosaic trio kernels a SECOND
+        # time at the init shapes, several minutes of pure compile the
+        # timed forward then repeats at full length
+        syn_init = (
+            factory.build_synthesizer(hps, dtype=jnp.bfloat16) if fused else syn
         )
+        params = factory.init_synthesizer_params(
+            syn_init, jax.random.PRNGKey(0), hps, t_frames=32, batch=1
+        )
+        _log("stage 3: init done, compiling timed forward")
 
         # params is an explicit jit arg: closing over it bakes ~270 MB of
         # weights into the HLO as constants, which the dev tunnel then
