@@ -455,6 +455,10 @@ class DiffusionSchedule:
         K=1 system (corrector weight phi_2), and the last step drops to
         order 1 without corrector, exactly as the vendored sampler.
         """
+        # the reference asserts steps >= order (uni_pc.py sample()); with
+        # steps == 1 the K=1 warm-up below would land at index 1 and the
+        # final order-1 base step would re-apply the same transition
+        assert steps >= 2, f"unipc-vary needs steps >= 2, got {steps}"
         tbl = self.solver_times(t_start, steps)
         alpha = jnp.asarray(tbl["alpha"])
         sigma = jnp.asarray(tbl["sigma"])
@@ -516,6 +520,7 @@ class DiffusionSchedule:
         self, denoise_fn, x, t_start: int, cond, order: int = 2,
         h_init: float = 0.05, atol: float = 0.0078, rtol: float = 0.05,
         theta: float = 0.9, t_err: float = 1e-5, max_iters: int = 200,
+        return_info: bool = False,
     ) -> jax.Array:
         """Adaptive step-size singlestep DPM-Solver++ (orders 2/3).
 
@@ -639,7 +644,21 @@ class DiffusionSchedule:
 
         s0 = jnp.float32(1.0)
         carry = (x, x, s0, jnp.float32(h_init), lam(s0), jnp.int32(0))
-        x, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
+        x, _xp, s, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
+        # Surface a max_iters exit (diverged model, or a too-hard tolerance)
+        # instead of silently returning a mid-trajectory x at the wrong s:
+        # the reference's python-while always lands on lambda_0 or raises.
+        converged = jnp.abs(s - t_0) <= t_err
+        jax.lax.cond(
+            converged,
+            lambda: None,
+            lambda: jax.debug.print(
+                "sample_dpmpp_adaptive: max_iters exit before t_0 "
+                "(s={s}, t_0={t}) - result is mid-trajectory", s=s, t=t_0
+            ),
+        )
+        if return_info:
+            return x, converged
         return x
 
     # -- top-level dispatch --------------------------------------------------

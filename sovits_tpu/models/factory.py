@@ -95,41 +95,53 @@ def build_discriminator(hps: HParams, dtype=jnp.float32) -> MultiPeriodDiscrimin
 
 
 def init_synthesizer_params(
-    module: Synthesizer, rng: jax.Array, hps: HParams, t_frames: int = 32, batch: int = 1
+    module: Synthesizer, rng: jax.Array, hps: HParams, t_frames: int = 32,
+    batch: int = 1, use_jit: bool = True,
 ) -> dict:
     d = hps.data
     m = hps.model
     # the training forward random-slices segment_size//hop latent frames, so
     # the init trace needs at least that many
     t_frames = max(t_frames, hps.train.segment_size // d.hop_length)
-    dummy = dict(
-        c=jnp.zeros((batch, t_frames, m.ssl_dim)),
-        f0=jnp.full((batch, t_frames), 220.0),
-        uv=jnp.ones((batch, t_frames)),
-        spec=jnp.zeros((batch, t_frames, d.filter_length // 2 + 1)),
-        spk=jnp.zeros((batch,), jnp.int32),
-        lengths=jnp.full((batch,), t_frames, jnp.int32),
-        vol=jnp.zeros((batch, t_frames)) if m.vol_embedding else None,
-    )
-    rng_p, rng_n, rng_s, rng_d = jax.random.split(rng, 4)
-    variables = module.init(
-        {"params": rng_p, "noise": rng_n, "slice": rng_s, "dropout": rng_d},
-        dummy["c"],
-        dummy["f0"],
-        dummy["uv"],
-        dummy["spec"],
-        dummy["spk"],
-        dummy["lengths"],
-        vol=dummy["vol"],
-        deterministic=False,
-    )
-    params = variables["params"]
-    params = apply_proximal_init(jax.tree.map(lambda x: x, params))
-    return params
+
+    def init_fn(rng):
+        dummy = dict(
+            c=jnp.zeros((batch, t_frames, m.ssl_dim)),
+            f0=jnp.full((batch, t_frames), 220.0),
+            uv=jnp.ones((batch, t_frames)),
+            spec=jnp.zeros((batch, t_frames, d.filter_length // 2 + 1)),
+            spk=jnp.zeros((batch,), jnp.int32),
+            lengths=jnp.full((batch,), t_frames, jnp.int32),
+            vol=jnp.zeros((batch, t_frames)) if m.vol_embedding else None,
+        )
+        rng_p, rng_n, rng_s, rng_d = jax.random.split(rng, 4)
+        variables = module.init(
+            {"params": rng_p, "noise": rng_n, "slice": rng_s, "dropout": rng_d},
+            dummy["c"],
+            dummy["f0"],
+            dummy["uv"],
+            dummy["spec"],
+            dummy["spk"],
+            dummy["lengths"],
+            vol=dummy["vol"],
+            deterministic=False,
+        )
+        return apply_proximal_init(jax.tree.map(lambda x: x, variables["params"]))
+
+    # jit by default: eager init dispatches thousands of tiny ops, which over
+    # the axon dev tunnel costs ~28 ms EACH (the r4 driver bench spent 513 s
+    # there) — one compiled program leaves the params device-resident with no
+    # host round trips, and the persistent compile cache amortizes the build
+    return jax.jit(init_fn)(rng) if use_jit else init_fn(rng)
 
 
 def init_discriminator_params(
-    module: MultiPeriodDiscriminator, rng: jax.Array, seg_samples: int = 10240, batch: int = 1
+    module: MultiPeriodDiscriminator, rng: jax.Array, seg_samples: int = 10240,
+    batch: int = 1, use_jit: bool = True,
 ) -> dict:
-    y = jnp.zeros((batch, seg_samples, 1))
-    return module.init({"params": rng}, y, y)["params"]
+    def init_fn(rng):
+        y = jnp.zeros((batch, seg_samples, 1))
+        return module.init({"params": rng}, y, y)["params"]
+
+    # jit for the same tunnel-dispatch reason as init_synthesizer_params
+    return jax.jit(init_fn)(rng) if use_jit else init_fn(rng)

@@ -264,10 +264,9 @@ class MultiHeadAttention(nn.Module):
             scores = scores + (-jnp.log1p(jnp.abs(diff)))[None, None]
 
         if causal:
-            # structured causal mask: applied here (not only via attn_mask)
-            # so `causal=True` alone is honored — previously this path
-            # silently ignored it, which the bench's on-chip Pallas-vs-jnp
-            # parity gate caught in round 4 (the fused kernel was right)
+            # structured causal mask, honored with or without an attn_mask
+            # (callers like FFT pass attn_mask=None + causal=True; a caller
+            # combining a padding attn_mask with causal=True gets both)
             off = (
                 jnp.arange(t_s, dtype=jnp.int32)[None, :]
                 - jnp.arange(t_t, dtype=jnp.int32)[:, None]
@@ -431,8 +430,6 @@ class FFT(nn.Module):
         g: jax.Array | None = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        t = x.shape[1]
-        causal_mask = jnp.tril(jnp.ones((t, t), dtype=jnp.float32))[None, None]
         drop = nn.Dropout(rate=self.p_dropout, deterministic=deterministic)
 
         g_all = None
@@ -473,7 +470,7 @@ class FFT(nn.Module):
                 param_dtype=self.param_dtype,
                 use_fused=self.use_fused,
                 name=f"attn_{i}",
-            )(x, x, causal_mask, deterministic, causal=True)
+            )(x, x, None, deterministic, causal=True)
             y = drop(y)
             x = LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"norm0_{i}")(x + y)
             y = FFN(

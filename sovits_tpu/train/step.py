@@ -33,10 +33,26 @@ from .losses import discriminator_loss, feature_loss, generator_loss, kl_loss
 
 
 def make_optimizer(hps) -> optax.GradientTransformation:
-    # NOTE: optax.flatten was tried here and measured WORSE on v5e (57 vs
-    # 44 ms/step device time): the per-step concatenation of ~400 MB of
-    # params+grads into one vector costs more than the per-leaf op
-    # dispatch it saves.
+    # Default: packed AdamW — the small-leaf cohort updates as ONE fused
+    # chain (optax.adamw dispatches ~3 kernels per leaf x ~400 leaves,
+    # ~3 ms/step of launch floor on v5e). optax.flatten was tried and
+    # measured WORSE (57 vs 44 ms/step device time: it concatenates the
+    # FULL ~400 MB of params+grads every step); packing only the small
+    # leaves keeps the concat traffic at a few MB. Exact optax.adamw
+    # numerics (tests/test_train.py::test_packed_adamw_matches_optax).
+    if hps.train.get("packed_adamw", True):
+        from .optim import packed_adamw
+
+        return optax.inject_hyperparams(
+            packed_adamw, static_args=("pack_max",)
+        )(
+            learning_rate=hps.train.learning_rate,
+            b1=hps.train.betas[0],
+            b2=hps.train.betas[1],
+            eps=hps.train.eps,
+            weight_decay=0.01,
+            pack_max=int(hps.train.get("adamw_pack_max", 1 << 16)),
+        )
     return optax.inject_hyperparams(optax.adamw)(
         learning_rate=hps.train.learning_rate,
         b1=hps.train.betas[0],

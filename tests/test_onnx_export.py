@@ -215,7 +215,7 @@ def test_onnx_fullsize_parity_mel_l1():
     })["audio"][0, 0]
 
     n = min(len(wav_jax), len(audio))
-    assert n == t * 512
+    assert n == t * hps.data.hop_length
     d = hps.data
     mel_kw = dict(
         n_fft=d.filter_length, n_mels=d.n_mel_channels,

@@ -70,7 +70,7 @@ def test_losses_match_reference():
     np.testing.assert_allclose(float(got_kl), ref_kl.item(), rtol=1e-5)
 
 
-def _tiny_hps():
+def _tiny_hps(**extra):
     return scfg.default_config(
         **{
             "train.segment_size": 256,
@@ -93,6 +93,7 @@ def _tiny_hps():
             "model.ssl_dim": 24,
             "model.n_speakers": 4,
             "model.n_flow_layer": 2,
+            **extra,
         }
     )
 
@@ -156,7 +157,11 @@ def test_fsdp_sharding_survives_train_step():
     the feature axis (VERDICT r1 weak #10: no more placement-only FSDP)."""
     from sovits_tpu.parallel import param_spec, shard_params, tree_shardings
 
-    hps = _tiny_hps()
+    # per-leaf optax.adamw here so the moment tree mirrors the param tree
+    # leaf-for-leaf (the packed optimizer's big-leaf moments inherit the
+    # same tree_shardings by shape; its cohort vector is small/replicated —
+    # exercised under real shardings by __graft_entry__.dryrun_multichip)
+    hps = _tiny_hps(**{"train.packed_adamw": False})
     mesh = make_mesh(n_data=4, n_model=2)
 
     syn = factory.build_synthesizer(hps)
@@ -200,6 +205,46 @@ def test_fsdp_sharding_survives_train_step():
     for path, leaf in sharded_leaves(mu):
         assert leaf.sharding.spec[-1] == "model", path
         assert leaf.addressable_shards[0].data.shape[-1] == leaf.shape[-1] // 2
+
+
+def test_packed_adamw_matches_optax():
+    """packed_adamw == optax.adamw element-for-element over several steps,
+    across the packed-cohort boundary (leaves below and above pack_max)."""
+    import optax
+
+    from sovits_tpu.train.optim import packed_adamw
+
+    rng = np.random.default_rng(0)
+    params = {
+        "small_bias": np.asarray(rng.standard_normal(7), np.float32),
+        "mid_kernel": np.asarray(rng.standard_normal((3, 8, 8)), np.float32),
+        "big_emb": np.asarray(rng.standard_normal((64, 33)), np.float32),
+    }
+    params = jax.tree.map(jnp.asarray, params)
+    kw = dict(learning_rate=2e-3, b1=0.8, b2=0.99, eps=1e-9, weight_decay=0.01)
+    ref_tx = optax.adamw(**kw)
+    # pack_max=200: small_bias+mid_kernel pack, big_emb stays per-leaf
+    got_tx = packed_adamw(**kw, pack_max=200)
+
+    ref_state = ref_tx.init(params)
+    got_state = got_tx.init(params)
+    p_ref = p_got = params
+    for step in range(5):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape), p.dtype), params
+        )
+        ref_upd, ref_state = ref_tx.update(grads, ref_state, p_ref)
+        got_upd, got_state = got_tx.update(grads, got_state, p_got)
+        for key in ("small_bias", "mid_kernel", "big_emb"):
+            np.testing.assert_allclose(
+                np.asarray(got_upd[key]), np.asarray(ref_upd[key]),
+                rtol=1e-6, atol=1e-7, err_msg=f"{key} step {step}",
+            )
+        p_ref = optax.apply_updates(p_ref, ref_upd)
+        p_got = optax.apply_updates(p_got, got_upd)
+    # moments for big leaves mirror the param shapes (FSDP shardability)
+    flat = {k: v for k, v in got_state.mu_big.items()}
+    assert any(v.shape == params["big_emb"].shape for v in flat.values())
 
 
 def test_proximal_init_copies_q_to_k():
