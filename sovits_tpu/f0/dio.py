@@ -90,7 +90,9 @@ class DioF0Predictor(F0Predictor):
         return tpos, world_stonemask_py(wav, fs, tpos, f0)
 
     def raw_f0(self, wav: np.ndarray, p_len: int) -> np.ndarray:
-        _tpos, f0 = self._world(np.asarray(wav, np.float64))
+        # no f64 upcast here: the fast path decimates in f32 and only reads
+        # len(wav); the oracle paths convert internally where they need f64
+        _tpos, f0 = self._world(np.asarray(wav))
         return f0
 
 

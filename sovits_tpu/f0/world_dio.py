@@ -269,7 +269,9 @@ def dio(
     an already-decimated band-analysis signal (the predictor's fast path
     shares one decimation FFT between DIO and StoneMask), bypassing the
     internal `decimate` call."""
-    x = np.asarray(x, np.float64)
+    # x is only measured (len) when pre_decimated is supplied; the f64
+    # upcast (a 3.5 MB copy per 10 s clip) happens lazily below
+    x = np.asarray(x)
     n_bands = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
     boundaries = f0_floor * 2.0 ** (np.arange(1, n_bands + 1) / channels_in_octave)
 
@@ -283,7 +285,7 @@ def dio(
         y = np.asarray(y, np.float64)
     else:
         ratio = int(np.clip(speed, 1, 12))
-        y = decimate(x, ratio)
+        y = decimate(np.asarray(x, np.float64), ratio)
         fs = fs / ratio
     y_length = len(y)
 

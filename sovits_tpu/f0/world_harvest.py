@@ -379,8 +379,20 @@ def harvest(
             sfft.rfft(firs, axis=1, workers=-1) * y_spec[None, :],
             fft_size, axis=1, workers=-1,
         )
+        halves = np.asarray(
+            [_band_half_width(actual_fs, b) for b in bnd], np.int64
+        )
+        if native_mod is not None and hasattr(
+            native_mod, "world_harvest_band_candidates_multi"
+        ):
+            # whole chunk in one ctypes crossing, f32 consumed in place
+            raw[s : s + len(bnd)] = native_mod.world_harvest_band_candidates_multi(
+                filt, halves, y_length, actual_fs, bnd, adj_floor, adj_ceil,
+                TRACK_AGREEMENT, basic_positions,
+            )
+            continue
         for j, boundary in enumerate(bnd):
-            half = _band_half_width(actual_fs, boundary)
+            half = int(halves[j])
             filtered = filt[j, half : half + y_length]
             if native_mod is not None:
                 raw[s + j] = native_mod.world_harvest_band_candidates(

@@ -67,6 +67,22 @@ def _load_world():
             ctypes.c_int64, dbl_p,
         ]
         lib.world_harvest_band_candidates.restype = None
+        try:  # round-5 symbols: a stale prebuilt .so may lack them
+            i64_p = ctypes.POINTER(ctypes.c_int64)
+            multi_sig = [
+                dbl_p, ctypes.c_int64, ctypes.c_int64, i64_p,
+                ctypes.c_int64, ctypes.c_double, dbl_p, ctypes.c_double,
+                ctypes.c_double, ctypes.c_double, dbl_p, ctypes.c_int64,
+                dbl_p,
+            ]
+            lib.world_harvest_band_candidates_multi.argtypes = multi_sig
+            lib.world_harvest_band_candidates_multi.restype = None
+            lib.world_harvest_band_candidates_multi_f.argtypes = (
+                [flt_p] + multi_sig[1:]
+            )
+            lib.world_harvest_band_candidates_multi_f.restype = None
+        except AttributeError:
+            pass
         lib.world_harvest_remove_unreliable.argtypes = [
             dbl_p, dbl_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
         ]
@@ -173,6 +189,42 @@ def world_harvest_band_candidates(
     return cand
 
 
+def world_harvest_band_candidates_multi(
+    filt: np.ndarray, offsets: np.ndarray, y_length: int, fs: float,
+    boundary_f0s: np.ndarray, f0_floor: float, f0_ceil: float,
+    track_agreement: float, temporal_positions: np.ndarray,
+) -> np.ndarray:
+    """Whole-chunk Harvest band candidates: channel ch reads
+    ``filt[ch, offsets[ch] : offsets[ch] + y_length]``. One ctypes crossing
+    for the whole chunk instead of one per channel."""
+    lib = _load_world()
+    if lib is None or not hasattr(lib, "world_harvest_band_candidates_multi"):
+        raise RuntimeError("native world_f0 multi entry unavailable")
+    if filt.dtype == np.float32:
+        filt = np.ascontiguousarray(filt)  # no f64 staging copy
+        fn = lib.world_harvest_band_candidates_multi_f
+        in_p = ctypes.POINTER(ctypes.c_float)
+    else:
+        filt = np.ascontiguousarray(filt, dtype=np.float64)
+        fn = lib.world_harvest_band_candidates_multi
+        in_p = ctypes.POINTER(ctypes.c_double)
+    n_ch = filt.shape[0]
+    offs = np.ascontiguousarray(offsets, dtype=np.int64)
+    bnds = np.ascontiguousarray(boundary_f0s, dtype=np.float64)
+    tpos = np.ascontiguousarray(temporal_positions, dtype=np.float64)
+    cand = np.empty((n_ch, len(tpos)), np.float64)
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    i64_p = ctypes.POINTER(ctypes.c_int64)
+    fn(
+        filt.ctypes.data_as(in_p), n_ch, filt.shape[1],
+        offs.ctypes.data_as(i64_p), y_length, float(fs),
+        bnds.ctypes.data_as(dbl_p), float(f0_floor), float(f0_ceil),
+        float(track_agreement), tpos.ctypes.data_as(dbl_p), len(tpos),
+        cand.ctypes.data_as(dbl_p),
+    )
+    return cand
+
+
 def world_harvest_remove_unreliable(
     cands: np.ndarray, scores: np.ndarray, threshold: float
 ) -> None:
@@ -260,13 +312,13 @@ def fir_decimate(x: np.ndarray, ratio: int, dtype=np.float32) -> np.ndarray:
     filtfilt oracle); same output length as x[::ratio]. ``dtype=float32``
     (default) runs the 4-way-blocked SIMD kernel (~1e-5-relative rounding);
     ``float64`` the full-precision one. Returns float64 either way."""
-    x = np.asarray(x, np.float64)
     if ratio <= 1:
-        return x.copy()
+        return np.asarray(x, np.float64).copy()
     h = _decimation_fir(ratio)
     n_out = -(-len(x) // ratio)
     lib = _load_world()
     if lib is None:  # numpy fallback (correctness only)
+        x = np.asarray(x, np.float64)
         half = len(h) // 2
         xe = np.pad(x, (half, half + ratio * n_out - len(x)))
         acc = np.zeros(n_out, np.float64)
@@ -274,6 +326,8 @@ def fir_decimate(x: np.ndarray, ratio: int, dtype=np.float32) -> np.ndarray:
             acc += hk * xe[k : k + n_out * ratio : ratio]
         return acc
     if dtype == np.float32:
+        # straight to f32 (no f64 staging copy: a 10 s 44.1 kHz clip would
+        # pay two extra 3.5 MB passes per call)
         xf = np.ascontiguousarray(x, dtype=np.float32)
         hf = np.ascontiguousarray(h, dtype=np.float32)
         out = np.empty(n_out, np.float32)
@@ -283,7 +337,7 @@ def fir_decimate(x: np.ndarray, ratio: int, dtype=np.float32) -> np.ndarray:
             len(hf), ratio, out.ctypes.data_as(flt_p), n_out,
         )
         return out.astype(np.float64)
-    xd = np.ascontiguousarray(x)
+    xd = np.ascontiguousarray(x, dtype=np.float64)
     out = np.empty(n_out, np.float64)
     dbl_p = ctypes.POINTER(ctypes.c_double)
     lib.world_fir_decimate(

@@ -187,12 +187,27 @@ void candidate_and_score_for_band(
     for (int i = 0; i < n; ++i) { candidate[i] = 0.0; score[i] = kMaxScore; }
     return;
   }
+  // frame positions ascend, so each track is swept with a cursor instead
+  // of a fresh binary search per query — the bracket (and therefore the
+  // arithmetic) is identical to interp1's
+  size_t cur[4] = {0, 0, 0, 0};
   for (int i = 0; i < n; ++i) {
+    const double q = temporal_positions[i];
     double vals[4];
     double mean = 0.0;
     for (int k = 0; k < 4; ++k) {
-      vals[k] = interp1(tracks[k].locations, tracks[k].f0,
-                        temporal_positions[i]);
+      const auto& loc = tracks[k].locations;
+      const auto& f0v = tracks[k].f0;
+      if (q <= loc.front()) {
+        vals[k] = f0v.front();
+      } else if (q >= loc.back()) {
+        vals[k] = f0v.back();
+      } else {
+        while (cur[k] + 2 < loc.size() && loc[cur[k] + 1] <= q) ++cur[k];
+        const size_t lo = cur[k];
+        const double w = (q - loc[lo]) / (loc[lo + 1] - loc[lo]);
+        vals[k] = f0v[lo] * (1.0 - w) + f0v[lo + 1] * w;
+      }
       mean += vals[k];
     }
     mean /= 4.0;
@@ -359,12 +374,14 @@ void world_band_candidates_f(const float* filtered, int64_t y_length,
 // _band_candidate_from_filtered): mean of the four event tracks at each
 // frame, gated on +-10% of the channel boundary, the f0 bounds, and the
 // four tracks agreeing within track_agreement of the candidate.
-void world_harvest_band_candidates(const double* filtered, int64_t y_length,
-                                   double fs, double boundary_f0,
-                                   double f0_floor, double f0_ceil,
-                                   double track_agreement,
-                                   const double* temporal_positions,
-                                   int64_t n_frames, double* candidate) {
+extern "C++" {  // template: C++ linkage island inside the extern "C" block
+template <typename T>
+static void harvest_band_candidates_impl(const T* filtered, int64_t y_length,
+                                         double fs, double boundary_f0,
+                                         double f0_floor, double f0_ceil,
+                                         double track_agreement,
+                                         const double* temporal_positions,
+                                         int64_t n_frames, double* candidate) {
   Track tracks[4];
   four_tracks(filtered, int(y_length), fs, tracks);
   for (int k = 0; k < 4; ++k) {
@@ -402,6 +419,51 @@ void world_harvest_band_candidates(const double* filtered, int64_t y_length,
                      mean > f0_ceil || mean < f0_floor ||
                      dev > mean * track_agreement;
     candidate[i] = bad ? 0.0 : mean;
+  }
+}
+}  // extern "C++"
+
+void world_harvest_band_candidates(const double* filtered, int64_t y_length,
+                                   double fs, double boundary_f0,
+                                   double f0_floor, double f0_ceil,
+                                   double track_agreement,
+                                   const double* temporal_positions,
+                                   int64_t n_frames, double* candidate) {
+  harvest_band_candidates_impl(filtered, y_length, fs, boundary_f0, f0_floor,
+                               f0_ceil, track_agreement, temporal_positions,
+                               n_frames, candidate);
+}
+
+// Multi-channel variants: one call for a whole chunk of band-filtered
+// channels (filtered[ch] starts at base + ch*stride + offsets[ch]) —
+// amortizes the per-call ctypes/copy overhead of the 160+ channel Harvest
+// loop into one crossing. The float32 form consumes the fast path's
+// filtered chunks without an f64 staging copy.
+void world_harvest_band_candidates_multi(
+    const double* base, int64_t n_channels, int64_t stride,
+    const int64_t* offsets, int64_t y_length, double fs,
+    const double* boundary_f0s, double f0_floor, double f0_ceil,
+    double track_agreement, const double* temporal_positions,
+    int64_t n_frames, double* candidates /* [n_channels, n_frames] */) {
+  for (int64_t ch = 0; ch < n_channels; ++ch) {
+    harvest_band_candidates_impl(
+        base + ch * stride + offsets[ch], y_length, fs, boundary_f0s[ch],
+        f0_floor, f0_ceil, track_agreement, temporal_positions, n_frames,
+        candidates + ch * n_frames);
+  }
+}
+
+void world_harvest_band_candidates_multi_f(
+    const float* base, int64_t n_channels, int64_t stride,
+    const int64_t* offsets, int64_t y_length, double fs,
+    const double* boundary_f0s, double f0_floor, double f0_ceil,
+    double track_agreement, const double* temporal_positions,
+    int64_t n_frames, double* candidates /* [n_channels, n_frames] */) {
+  for (int64_t ch = 0; ch < n_channels; ++ch) {
+    harvest_band_candidates_impl(
+        base + ch * stride + offsets[ch], y_length, fs, boundary_f0s[ch],
+        f0_floor, f0_ceil, track_agreement, temporal_positions, n_frames,
+        candidates + ch * n_frames);
   }
 }
 
@@ -641,36 +703,60 @@ static void harmonic_bins(const double* wm, const double* wd, int wlen,
                           const int* bins, int nh, int fft_size,
                           double* mr_out, double* mi_out, double* dr_out,
                           double* di_out) {
+  // 4 interleaved streams (i mod 4), each advancing its phasor by the
+  // 4-step rotation e^{-i 4 ang} with its own accumulator set: the single
+  // -stream version serializes on the rotation recurrence's FMA latency
+  // (~8 cycles per sample regardless of SIMD width); 4 independent chains
+  // keep the FMA pipes full. Accumulation order changes (4 partial sums),
+  // error stays ~n*eps — the refine/stonemask tests are Hz-tolerance
+  // gated, not bit-pinned. Harvest end-to-end 722 -> 564 ms (1-core VM).
   constexpr int kLanes = 8;
-  double er[kLanes], ei[kLanes], cs[kLanes], sn[kLanes];
-  double mr[kLanes] = {0}, mi[kLanes] = {0}, dr[kLanes] = {0},
-         di[kLanes] = {0};
+  constexpr int kStreams = 4;
+  double cs4[kLanes], sn4[kLanes];
+  double er[kStreams][kLanes], ei[kStreams][kLanes];
+  double mr[kStreams][kLanes] = {{0}}, mi[kStreams][kLanes] = {{0}},
+         dr[kStreams][kLanes] = {{0}}, di[kStreams][kLanes] = {{0}};
   for (int k = 0; k < kLanes; ++k) {
     const double ang =
         k < nh ? 2 * kPi * double(bins[k]) / double(fft_size) : 0.0;
-    cs[k] = std::cos(ang);
-    sn[k] = -std::sin(ang);  // e^{-i ang} step
-    er[k] = 1.0;
-    ei[k] = 0.0;
+    cs4[k] = std::cos(4.0 * ang);
+    sn4[k] = -std::sin(4.0 * ang);  // (e^{-i ang})^4 step
+    for (int s = 0; s < kStreams; ++s) {
+      er[s][k] = std::cos(double(s) * ang);
+      ei[s][k] = -std::sin(double(s) * ang);
+    }
   }
-  for (int i = 0; i < wlen; ++i) {
-    const double m = wm[i], d = wd[i];
+  int i = 0;
+  for (; i + kStreams <= wlen; i += kStreams) {
+    for (int s = 0; s < kStreams; ++s) {
+      const double m = wm[i + s], d = wd[i + s];
+#pragma omp simd
+      for (int k = 0; k < kLanes; ++k) {
+        mr[s][k] += m * er[s][k];
+        mi[s][k] += m * ei[s][k];
+        dr[s][k] += d * er[s][k];
+        di[s][k] += d * ei[s][k];
+        const double nr = er[s][k] * cs4[k] - ei[s][k] * sn4[k];
+        ei[s][k] = er[s][k] * sn4[k] + ei[s][k] * cs4[k];
+        er[s][k] = nr;
+      }
+    }
+  }
+  for (int s = 0; i + s < wlen; ++s) {  // tail: stream s phasor is current
+    const double m = wm[i + s], d = wd[i + s];
 #pragma omp simd
     for (int k = 0; k < kLanes; ++k) {
-      mr[k] += m * er[k];
-      mi[k] += m * ei[k];
-      dr[k] += d * er[k];
-      di[k] += d * ei[k];
-      const double nr = er[k] * cs[k] - ei[k] * sn[k];
-      ei[k] = er[k] * sn[k] + ei[k] * cs[k];
-      er[k] = nr;
+      mr[s][k] += m * er[s][k];
+      mi[s][k] += m * ei[s][k];
+      dr[s][k] += d * er[s][k];
+      di[s][k] += d * ei[s][k];
     }
   }
   for (int k = 0; k < nh; ++k) {
-    mr_out[k] = mr[k];
-    mi_out[k] = mi[k];
-    dr_out[k] = dr[k];
-    di_out[k] = di[k];
+    mr_out[k] = mr[0][k] + mr[1][k] + mr[2][k] + mr[3][k];
+    mi_out[k] = mi[0][k] + mi[1][k] + mi[2][k] + mi[3][k];
+    dr_out[k] = dr[0][k] + dr[1][k] + dr[2][k] + dr[3][k];
+    di_out[k] = di[0][k] + di[1][k] + di[2][k] + di[3][k];
   }
 }
 
@@ -698,9 +784,11 @@ static double get_mean_f0(const double* x, int64_t x_length, double fs,
   // main window by rotation recurrence over position (i + 0.5) / wlen
   wm.resize(wlen);
   wd.resize(wlen);
-  win.resize(wlen);
   std::vector<double>& main_window = win;
-  {
+  // window is a pure function of wlen: successive frames share it whenever
+  // their rounded half-window matches (smooth f0 contours hit this often)
+  if (int(win.size()) != wlen) {
+    win.resize(wlen);
     const double step = 2 * kPi / double(wlen);
     const double cs = std::cos(step), sn = std::sin(step);
     double cr = std::cos(0.5 * step), ci = std::sin(0.5 * step);
@@ -768,8 +856,9 @@ static void refine_one(const double* x, int64_t x_length, double fs,
   const int n_harmonics = std::min(int(fs / 2.0 / current_f0), 6);
   if (n_harmonics < 1) return;
 
-  wm.resize(wlen); wd.resize(wlen); win.resize(wlen);
-  {
+  wm.resize(wlen); wd.resize(wlen);
+  if (int(win.size()) != wlen) {  // pure function of wlen: cache across frames
+    win.resize(wlen);
     const double step = 2 * kPi / double(wlen);
     const double cs = std::cos(step), sn = std::sin(step);
     double cr = std::cos(0.5 * step), ci = std::sin(0.5 * step);
@@ -830,7 +919,21 @@ void world_refine_f0(const double* x, int64_t x_length, double fs,
                      const double* positions, const double* f0s, int64_t n,
                      double* refined_out, double* score_out) {
   std::vector<double> wm, wd, win;
+  // candidates are independent: process in window-length order so the
+  // wlen-keyed Blackman cache in refine_one rebuilds once per distinct
+  // length instead of (nearly) once per candidate. Outputs land at their
+  // original indices — identical results, any order.
+  std::vector<int64_t> order(n);
+  std::vector<int> wl(n);
   for (int64_t i = 0; i < n; ++i) {
+    order[i] = i;
+    const double f = f0s[i] > 0.0 ? f0s[i] : 1.0;
+    wl[i] = 2 * int(1.5 * fs / f + 1.0) + 1;
+  }
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return wl[a] < wl[b]; });
+  for (int64_t k = 0; k < n; ++k) {
+    const int64_t i = order[k];
     refine_one(x, x_length, fs, positions[i], f0s[i], &refined_out[i],
                &score_out[i], wm, wd, win);
   }

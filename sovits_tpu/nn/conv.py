@@ -206,22 +206,37 @@ class Conv1d(nn.Module):
             kd = kd.at[:, idx, :, idx, :].set(kb.transpose(2, 0, 1, 3))
             kernel = kd.reshape(self.kernel_size, in_ch, self.features)
             groups = 1
+        nb = in_ch // 128
         if (
             1 < groups < in_ch  # depthwise stays on the grouped path
             and in_ch > 128
-            and self.dilation == 1
-            and x.shape[1] % self.stride == 0
+            and in_ch % 128 == 0
+            and nb > 1
+            and groups % nb == 0
+            and self.features % nb == 0
         ):
-            # wide grouped towers: XLA's input-gradient path is batch-minor
-            # (measured ~3 ms for the g256 layer); route through the
-            # custom-VJP that computes dx as one block-diagonal matmul
-            from ..ops.grouped import grouped_conv1d
-
-            y = grouped_conv1d(x.astype(self.dtype), kernel, self.stride,
-                               pad, groups)
-            if bias is not None:
-                y = y + bias.astype(self.dtype)
-            return y.astype(self.dtype)
+            # Wide grouped towers (the scale discriminator's g64/g256
+            # layers): every fine group lies INSIDE one 128-lane block, so
+            # scattering the per-group kernels into dense 128-wide blocks
+            # and keeping only nb = in_ch/128 coarse feature groups is
+            # exact (off-block zeros) while every contraction is a full
+            # 128-wide MXU feed. Measured on v5e (tools/profile_msd_bwd.py,
+            # fwd+bwd): g64 2.53 -> 1.73 ms, g256 3.41 -> 1.81 ms vs the
+            # r2 custom block-diagonal-dx VJP it replaces; XLA's own VJP of
+            # this form is also the fastest backward measured.
+            gpb = groups // nb
+            cig = in_ch // groups
+            cog = self.features // groups
+            cib = in_ch // nb
+            kb = kernel.reshape(self.kernel_size, cig, nb, gpb, cog)
+            # block-diagonal expansion as a broadcast multiply with a
+            # constant identity (NOT an .at[].set scatter: the scatter and
+            # its transpose blew XLA's compile time up inside the full GAN
+            # step graph; the multiply lowers to a select XLA fuses away)
+            eye = jnp.eye(gpb, dtype=self.dtype)
+            kd = kb[:, None] * eye[None, :, None, None, :, None]
+            kernel = kd.reshape(self.kernel_size, cib, self.features)
+            groups = nb
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel,

@@ -1,5 +1,12 @@
 """Grouped conv1d with a TPU-shaped input-gradient path.
 
+SUPERSEDED in round 5 for the production MSD path: nn/conv.py now lowers
+wide grouped convs to a block-dense form (dense 128-wide kernel blocks +
+feature_group_count = C_in/128), which measured faster in BOTH directions
+than this custom VJP (tools/profile_msd_bwd.py: g64 2.53 -> 1.73 ms,
+g256 3.41 -> 1.81 ms fwd+bwd on v5e). Kept as the measured baseline and
+for configs whose channel counts don't divide into 128-lane blocks.
+
 XLA's forward grouped conv is fine on v5e, but its input-gradient
 (`conv_general_dilated` with lhs dilation and feature groups) picks a
 batch-minor layout for the wide grouped towers of the scale

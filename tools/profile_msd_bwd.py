@@ -29,7 +29,7 @@ ITERS = 20
 
 
 def timed(name, make_loop, state):
-    jitted = jax.jit(make_loop, donate_argnums=(0,))
+    jitted = jax.jit(make_loop)
     state, warm = jitted(state)
     np.asarray(warm)
     t0 = time.perf_counter()
@@ -137,11 +137,33 @@ def probe(tag, t_in, cin, cout, k, stride, groups):
         )
         return lax_conv(xi, kd.reshape(k, cin, cout), 1)
 
+    # block-dense: scatter the per-group kernels into dense 128-wide blocks
+    # and keep only nb = cin/128 coarse groups — the 4-wide group structure
+    # is entirely inside one 128-lane tile, so the block-diagonal zeros are
+    # exact and every contraction is a full-width MXU feed, at 1/nb of the
+    # fully-dense MAC count
+    nb = max(cin // 128, 1)
+
+    def blk_conv(xi, kk):
+        if nb <= 1 or groups % nb:
+            return dense_conv(xi, kk)
+        gpb = groups // nb
+        cib = cin // nb
+        kb = kk.reshape(k, cg, nb, gpb, cog)
+        kd = jnp.zeros((k, gpb, cg, nb, gpb, cog), kk.dtype)
+        ig = jnp.arange(gpb)
+        kd = kd.at[:, ig, :, :, ig, :].set(
+            kb.transpose(3, 0, 1, 2, 4)  # [gpb, k, cg, nb, cog]
+        )
+        kfgc = kd.reshape(k, cib, cout)
+        return lax_conv(xi, kfgc, nb)
+
     variants = {
         "xla": lambda xi, kk: lax_conv(xi, kk, groups),
         "cur": lambda xi, kk: grouped_conv1d(xi, kk, stride, pad, groups),
         "v2": conv_v2,
         "dense": dense_conv,
+        "blk": blk_conv,
     }
 
     # numeric sanity: all variants agree in fwd and grads
@@ -182,7 +204,9 @@ def probe(tag, t_in, cin, cout, k, stride, groups):
         def make_fwd(st, fn=fn):
             def body(st, i):
                 xx, kk = st
-                y = fn(xx, kk)
+                # i-dependence: a loop-invariant body would be hoisted out
+                # of the scan by XLA and time nothing
+                y = fn(xx + (i * 1e-9).astype(xx.dtype), kk)
                 return (xx, kk), jnp.mean(jnp.abs(y.astype(jnp.float32)))
 
             def loop(st):
