@@ -150,6 +150,17 @@ def main():
         dio_times.append(time.perf_counter() - t0)
     dio_time = float(np.median(dio_times))
 
+    # --- stage 2b: harvest f0 timing fixture (r4 VERDICT next #4) ---
+    _log("stage 2b: harvest")
+    hv = get_f0_predictor("harvest", hop_length=hop, sampling_rate=sr)
+    hv.compute_f0_uv(wav)  # warm caches / FFT plans
+    hv_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hv.compute_f0_uv(wav)
+        hv_times.append(time.perf_counter() - t0)
+    harvest_time = float(np.median(hv_times))
+
     # --- stage 3: synthesizer + NSF-HiFiGAN (noise sampling ON) ---
     c = jnp.asarray(rng.standard_normal((1, t_frames, hps.model.ssl_dim)), jnp.float32)
     f0 = jnp.asarray(np.maximum(f0_np, 1.0)[None, :t_frames], jnp.float32)
@@ -219,6 +230,7 @@ def main():
     details = {
         "encoder_time_s": enc_time,
         "dio_time_s": dio_time,
+        "harvest_time_s": harvest_time,
         "synthesizer_time_s": syn_time,
         "synthesizer_mode": syn_mode,
         "total_rtf": rtf,
