@@ -227,6 +227,28 @@ def main():
     # emit the headline immediately; details below must not delay/fail it
     print(json.dumps(result), flush=True)
 
+    # Carry the PRIOR run's completed detail stages forward under an
+    # explicit label: stage rotation means a budget-limited run may skip
+    # stages a previous run captured, and the driver-written file must not
+    # LOSE that evidence (r4: the driver's overwrite dropped the committed
+    # train/learning numbers). Clearly marked as from a prior run, never
+    # merged into this run's top-level numbers.
+    _stage_keys = (
+        "train_steps_per_sec", "learning", "learning_e2e",
+        "pallas_parity", "mel_l1_vs_torch_fullsize",
+    )
+    prior_stages = {
+        k: v
+        for k, v in prior_details.items()
+        if k in _stage_keys and not (isinstance(v, dict) and "skipped" in v)
+    }
+    # a prior run may itself carry older evidence: keep the freshest copy
+    for k, v in (prior_details.get("prior_run_stages") or {}).items():
+        if k in _stage_keys and k not in prior_stages and k != "stage_seconds":
+            prior_stages[k] = v
+    if isinstance(prior_details.get("stage_seconds"), dict):
+        prior_stages["stage_seconds"] = prior_details["stage_seconds"]
+
     details = {
         "encoder_time_s": enc_time,
         "dio_time_s": dio_time,
@@ -240,6 +262,8 @@ def main():
         "synthesizer_rtf": syn_time / SECONDS,
         "n_samples": n_samples,
     }
+    if prior_stages:
+        details["prior_run_stages"] = prior_stages
 
     def flush():
         with open("bench_details.json", "w") as f:

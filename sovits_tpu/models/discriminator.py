@@ -107,7 +107,8 @@ class DiscriminatorS(nn.Module):
         b = x.shape[0]
         fmap = []
         for i, (ch, k, s, grp, pad) in enumerate(self.specs):
-            x = Conv1d(
+            in_ch = x.shape[-1]
+            conv = Conv1d(
                 features=ch,
                 kernel_size=k,
                 stride=s,
@@ -118,7 +119,23 @@ class DiscriminatorS(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"conv_{i}",
-            )(x)
+            )
+            # Narrow tower stages (in_ch < 128) run time-FOLDED: XLA
+            # lane-pads the minor dim of [B, T, C<128] to 128 (8x HBM
+            # traffic at C=16, measured ~1.4 ms/step of the GAN train step
+            # in the conv_0/conv_1 stages alone); folding P samples into
+            # the channel dim makes every contraction a full-width MXU
+            # matmul (ops/folded.py). Refolds between stages are row-major
+            # reshapes (free). Grouped stages expand to exact
+            # block-diagonal dense kernels inside Conv1d's folded path.
+            p_out = max(128 // ch, 1)
+            p_in = p_out * s
+            if in_ch < 128 and x.shape[1] % p_in == 0:
+                xf = x.reshape(b, x.shape[1] // p_in, p_in * in_ch)
+                yf = conv(xf, folded=(p_in, p_out))
+                x = yf.reshape(b, yf.shape[1] * p_out, ch)
+            else:
+                x = conv(x)
             x = leaky_relu(x)
             fmap.append(x)
         x = Conv1d(

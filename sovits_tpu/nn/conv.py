@@ -98,6 +98,9 @@ class Conv1d(nn.Module):
     # Use for small channel counts where XLA's conv starves the MXU.
     fold_p: int = 1
     spectral_norm: bool = False  # torch spectral_norm (power iteration)
+    # lower wide grouped convs as im2col + block-batched einsum instead of
+    # conv_general_dilated (see the wide-grouped branch below)
+    im2col: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -154,9 +157,25 @@ class Conv1d(nn.Module):
             from ..ops.folded import folded_conv1d_f
 
             p_in, p_out = folded
-            assert self.groups == 1
             assert p_in == p_out * self.stride, (folded, self.stride)
             assert pad[0] == pad[1]
+            if self.groups > 1:
+                # narrow grouped folded conv (the scale discriminator's g4 /
+                # g16 towers): expand the grouped kernel to its dense
+                # block-diagonal form (exact — off-block zeros) so the fold
+                # matrices contract full-width; only legal when the whole
+                # input width fits one fold row
+                assert in_ch <= 128, (in_ch, self.groups)
+                cig = in_ch // self.groups
+                cog = self.features // self.groups
+                # [k, cig, g, cog] -> [k, g, cig, cog]
+                kb = kernel.reshape(
+                    self.kernel_size, cig, self.groups, cog
+                ).transpose(0, 2, 1, 3)
+                eye = jnp.eye(self.groups, dtype=kernel.dtype)
+                # dense[j, g*cig + i, h*cog + o] = kb[j, g, i, o] * eye[g, h]
+                kd = kb[:, :, :, None, :] * eye[None, :, None, :, None]
+                kernel = kd.reshape(self.kernel_size, in_ch, self.features)
             return folded_conv1d_f(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
@@ -237,6 +256,20 @@ class Conv1d(nn.Module):
             kd = kb[:, None] * eye[None, :, None, None, :, None]
             kernel = kd.reshape(self.kernel_size, cib, self.features)
             groups = nb
+            if self.im2col:
+                # deep-tower shapes (T <= a few hundred by these layers):
+                # XLA's conv halo machinery runs the g64/g256 BACKWARD at
+                # ~3% MFU; one explicit im2col + block-batched einsum is a
+                # full-width MXU feed instead (ops/im2col.py)
+                from ..ops.im2col import conv1d_im2col
+
+                y = conv1d_im2col(
+                    x.astype(self.dtype), kernel, None,
+                    self.stride, pad[0], self.dilation, nb=nb,
+                )
+                if bias is not None:
+                    y = y + bias.astype(self.dtype)
+                return y
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel,
@@ -445,6 +478,10 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     spectral_norm: bool = False  # torch spectral_norm (power iteration)
+    # lower (k, 1) convs as im2col + one dense matmul (ops/im2col.py): the
+    # period discriminators' deep layers shrink H to ~11-56 where XLA's
+    # conv halo machinery runs at ~20% MFU
+    im2col: bool = False
     kernel_init: Callable = torch_conv_kernel_init
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -473,13 +510,21 @@ class Conv2d(nn.Module):
             kernel = v
 
         ph, pw = self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=self.strides,
-            padding=((ph, ph), (pw, pw)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.im2col and kw == 1 and self.strides[1] == 1 and pw == 0:
+            from ..ops.im2col import conv2d_w1_im2col
+
+            y = conv2d_w1_im2col(
+                x.astype(self.dtype), kernel.astype(self.dtype), None,
+                self.strides[0], ph,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=self.strides,
+                padding=((ph, ph), (pw, pw)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param(
                 "bias", _torch_bias_init(fan_in), (self.features,), self.param_dtype
