@@ -270,15 +270,32 @@ class Conv1d(nn.Module):
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel,
-            window_strides=(self.stride,),
-            padding=(pad,),
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=groups,
-        )
+        if (
+            groups == 1
+            and self.stride == 1
+            and self.kernel_size > 1
+            and pad[0] == pad[1]
+            and pad[0] <= (self.kernel_size - 1) * self.dilation
+        ):
+            # Matmul-backward conv (ops/convvjp.py): forward is the same
+            # XLA conv, but the VJP is k shifted MXU matmuls instead of
+            # XLA's conv-transpose halo machinery — which the train-step
+            # trace showed costing ~1.2 ms/step across the WN/FFN convs.
+            from ..ops.convvjp import conv1d_mm_vjp
+
+            y = conv1d_mm_vjp(
+                x.astype(self.dtype), kernel, self.dilation, pad[0]
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel,
+                window_strides=(self.stride,),
+                padding=(pad,),
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=groups,
+            )
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y

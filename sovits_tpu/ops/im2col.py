@@ -84,6 +84,38 @@ def conv1d_im2col(
     return y.astype(x.dtype)
 
 
+def conv2d_w1_shift(
+    x: jax.Array,  # [B, H, W, C_in]  (NHWC, kernel (k, 1))
+    kernel: jax.Array,  # [k, 1, C_in, features]
+    bias: jax.Array | None,
+    stride: int,  # over H; W stride must be 1
+    pad: int,  # over H; W pad must be 0
+) -> jax.Array:
+    """(k, 1) NHWC conv as k accumulated shifted matmuls (no im2col
+    materialization: each tap is one [B*H'*W, C] @ [C, F] MXU feed and the
+    backward is the transposed matmuls — no conv halo machinery, which
+    dominates the period discriminators' deep layers at H ~ 11-56)."""
+    k = kernel.shape[0]
+    b, h, w, c = x.shape
+    h_out = (h + 2 * pad - k) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    need = (h_out - 1) * stride + 1
+    y = None
+    for j in range(k):
+        tap = jax.lax.slice(
+            xp, (0, j, 0, 0), (b, j + need, w, c), (1, stride, 1, 1)
+        )
+        t = jax.lax.dot_general(
+            tap, kernel[j, 0],
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = t if y is None else y + t
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
 def conv2d_w1_im2col(
     x: jax.Array,  # [B, H, W, C_in]  (NHWC, kernel (k, 1))
     kernel: jax.Array,  # [k, 1, C_in, features]
